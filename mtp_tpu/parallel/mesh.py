@@ -1,0 +1,99 @@
+"""Device mesh + sharding rules.
+
+The reference scales exclusively with DDP over NCCL
+(Multi-Task_Pretrain/main_pretrain.py:508-524).  The TPU-native equivalent is
+a `jax.sharding.Mesh` with the batch dimension sharded over the `data` axis
+and (optionally) Megatron-style tensor parallelism over the `model` axis;
+XLA inserts the gradient all-reduces / all-gathers over ICI.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mtp_tpu.utils.config import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = cfg.model if cfg.model > 0 else 1
+    data = cfg.data if cfg.data > 0 else n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules (tensor parallelism)
+#
+# Megatron-style: column-parallel for qkv / mlp-in (shard output features),
+# row-parallel for attn-proj / mlp-out (shard input features).  Everything
+# else is replicated.  Rules are matched on the flattened param path.
+# ---------------------------------------------------------------------------
+
+# (regex over "a/b/c" param path, PartitionSpec factory applied to the leaf)
+_TP_RULES = [
+    # attention qkv & mlp up-projection: shard last (output-feature) dim
+    (re.compile(r"(qkv|fc1)/kernel$"), lambda ndim: P(*([None] * (ndim - 1) + [MODEL_AXIS]))),
+    (re.compile(r"(qkv|fc1)/bias$"), lambda ndim: P(MODEL_AXIS)),
+    # attention output proj & mlp down-projection: shard first-of-last-two (input) dim
+    (re.compile(r"(attn/proj|fc2)/kernel$"), lambda ndim: P(*([None] * (ndim - 2) + [MODEL_AXIS, None]))),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_pspec(path, leaf, tp: bool) -> P:
+    if not tp:
+        return P()
+    s = _path_str(path)
+    for rx, fn in _TP_RULES:
+        if rx.search(s):
+            return fn(leaf.ndim)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree for a param pytree; TP rules apply iff the model
+    axis has >1 devices."""
+    tp = mesh.shape[MODEL_AXIS] > 1
+
+    def one(path, leaf):
+        return NamedSharding(mesh, param_pspec(path, leaf, tp))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Place a host param pytree onto the mesh with the rule-derived layout."""
+    sh = param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, sh)
