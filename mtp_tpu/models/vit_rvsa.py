@@ -1,0 +1,392 @@
+"""ViT + RVSA (Rotated Varied-Size Window Attention) backbone, TPU-native.
+
+Re-design of the reference `ViT_Win_RVSA_V3_WSZ7`
+(Multi-Task_Pretrain/backbone/vit_win_rvsa_v3_wsz7.py:587-865) with equivalent
+math but a TPU-first shape discipline:
+
+- NHWC layout end to end (no NCHW permutes; convs, pools and window reshapes
+  all operate on the channels-last layout XLA prefers on TPU),
+- static shapes: padding, window counts and all gather indices are resolved at
+  trace time, so the whole backbone jit-compiles to one fused program,
+- rotated-window K/V sampling uses `mtp_tpu.ops.grid_sample` (a vectorized
+  gather) instead of a CUDA grid_sampler,
+- bf16 matmuls on the MXU with fp32 softmax/params.
+
+Numeric semantics preserved from the reference (for released-checkpoint
+parity), including its quirks:
+- blocks are RVSA except every `interval`-th (1-indexed), which is full
+  attention over the whole token grid (:625-631),
+- full attention applies `scale` to q *before* the rel-pos contraction
+  (:100-103) while RVSA applies it to the logits with unscaled-q rel-pos
+  (:410-412),
+- RVSA x-offsets are normalized by the *vertical* window count and y-offsets
+  by the horizontal one (:359-360), using the unpadded size,
+- qkv is computed on unpadded tokens and then zero-padded (:390-392), while
+  the offset/scale/angle regressors pool the zero-padded features (:347-368),
+- sampling grids use align_corners=True with zero padding (:397-404).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mtp_tpu.ops.grid_sample import grid_sample
+from mtp_tpu.ops.rel_pos import (add_decomposed_rel_pos, swin_rel_pos_bias,
+                                 swin_rel_pos_index)
+from mtp_tpu.utils.config import BackboneConfig
+
+Array = jax.Array
+
+
+def trunc_normal_init(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+def drop_path(x: Array, rate: float, deterministic: bool, rng) -> Array:
+    """Stochastic depth on the residual branch (per sample)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        x = nn.Dense(self.hidden, dtype=self.dtype, kernel_init=trunc_normal_init(),
+                     name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=self.dtype, kernel_init=trunc_normal_init(),
+                     name="fc2")(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class FullAttention(nn.Module):
+    """Global attention over the whole (H, W) token grid with decomposed
+    relative position bias (reference `Attention` + `calc_rel_pos_spatial`)."""
+
+    dim: int
+    num_heads: int
+    grid_size: Tuple[int, int]  # rel-pos table extent (Hp, Wp of the model grid)
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        B, H, W, C = x.shape
+        nH, hd = self.num_heads, self.dim // self.num_heads
+        scale = hd ** -0.5
+
+        rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
+                               (2 * self.grid_size[0] - 1, hd))
+        rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
+                               (2 * self.grid_size[1] - 1, hd))
+
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(), name="qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, nH, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nH, N, hd)
+
+        q = q * scale
+        attn = jnp.einsum("bhqc,bhkc->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        # reference passes the scaled q into the rel-pos contraction
+        attn = add_decomposed_rel_pos(attn, q.astype(jnp.float32), (H, W),
+                                      (H, W), rel_pos_h, rel_pos_w)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, nH * hd)
+        out = nn.Dense(self.dim, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(), name="proj")(out)
+        return out
+
+
+class RVSAAttention(nn.Module):
+    """Rotated varied-size window attention (reference
+    `RotatedVariedSizeWindowAttention`, vit_win_rvsa_v3_wsz7.py:195-433).
+
+    Each 7x7 query window attends to a 7x7 set of K/V taps sampled on a
+    per-window learned grid: the identity window grid scaled by (1+s),
+    rotated by theta around the window center, and translated by a learned
+    offset; K/V values are bilinearly gathered from the padded feature map.
+    """
+
+    dim: int
+    num_heads: int
+    ws: int = 7
+    attn_ws: int = 7
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        B, H, W, C = x.shape
+        nH, hd = self.num_heads, self.dim // self.num_heads
+        ws, aws = self.ws, self.attn_ws
+        scale = hd ** -0.5
+
+        rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * ws - 1, hd))
+        rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * ws - 1, hd))
+        bias_table = self.param("relative_position_bias_table",
+                                trunc_normal_init(),
+                                ((ws + aws - 1) ** 2, nH))
+
+        # --- qkv on unpadded tokens, then zero-pad (reference order) -------
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(), name="qkv")(x)
+
+        ph, pw = (ws - H % ws) % ws, (ws - W % ws) % ws
+        pt, pl = ph // 2, pw // 2
+        Hp, Wp = H + ph, W + pw
+        nh, nw = Hp // ws, Wp // ws
+        qkv = jnp.pad(qkv, ((0, 0), (pt, ph - pt), (pl, pw - pl), (0, 0)))
+        x_pad = jnp.pad(x, ((0, 0), (pt, ph - pt), (pl, pw - pl), (0, 0)))
+
+        qkv = qkv.reshape(B, Hp, Wp, 3, nH, hd).transpose(3, 0, 4, 1, 2, 5)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nH, Hp, Wp, hd)
+
+        # --- per-window offset / scale / angle regression ------------------
+        pooled = nn.avg_pool(x_pad, (ws, ws), strides=(ws, ws))  # (B, nh, nw, C)
+        pooled = nn.leaky_relu(pooled, negative_slope=0.01)
+        off = nn.Dense(nH * 2, dtype=jnp.float32, kernel_init=trunc_normal_init(),
+                       name="sampling_offsets")(pooled).reshape(B, nh, nw, nH, 2)
+        scl = nn.Dense(nH * 2, dtype=jnp.float32, kernel_init=trunc_normal_init(),
+                       name="sampling_scales")(pooled).reshape(B, nh, nw, nH, 2)
+        ang = nn.Dense(nH, dtype=jnp.float32, kernel_init=trunc_normal_init(),
+                       name="sampling_angles")(pooled)  # (B, nh, nw, nH)
+
+        # reference quirk: x-offset normalized by the vertical window count
+        # of the *unpadded* map and vice versa (:359-360)
+        off_x = off[..., 0] / max(H // ws, 1)
+        off_y = off[..., 1] / max(W // ws, 1)
+
+        # --- sampling grid (fp32; all static except the regressed params) --
+        ref_x = np.linspace(-1.0, 1.0, Wp, dtype=np.float32)
+        ref_y = np.linspace(-1.0, 1.0, Hp, dtype=np.float32)
+        wc_x = jnp.asarray(ref_x.reshape(nw, ws).mean(-1))  # window centers
+        wc_y = jnp.asarray(ref_y.reshape(nh, ws).mean(-1))
+        bc = np.arange(aws, dtype=np.float32) * 2.0 * ws / aws
+        bc_x = bc / (Wp - 1)
+        bc_y = bc / (Hp - 1)
+        bc_x = jnp.asarray(bc_x - bc_x.mean())  # (aws,) in-window x offsets
+        bc_y = jnp.asarray(bc_y - bc_y.mean())
+
+        sx = scl[..., 0] + 1.0  # (B, nh, nw, nH)
+        sy = scl[..., 1] + 1.0
+        # (B, nh, nw, nH, aws_y, aws_x)
+        ox = (bc_x[None, :] * sx[..., None])[..., None, :]
+        oy = (bc_y[None, :] * sy[..., None])[..., :, None]
+        sin, cos = jnp.sin(ang)[..., None, None], jnp.cos(ang)[..., None, None]
+        rx = -oy * sin + ox * cos
+        ry = oy * cos + ox * sin
+        gx = wc_x[None, None, :, None, None, None] + rx + off_x[..., None, None]
+        gy = wc_y[None, :, None, None, None, None] + ry + off_y[..., None, None]
+        grid = jnp.stack([gx, gy], axis=-1)  # (B, nh, nw, nH, aws, aws, 2)
+        grid = grid.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+            B * nH, nh * aws, nw * aws, 2)
+
+        # --- bilinear K/V gather on the learned grids ----------------------
+        k_flat = k.reshape(B * nH, Hp, Wp, hd)
+        v_flat = v.reshape(B * nH, Hp, Wp, hd)
+        k_sel = grid_sample(k_flat, grid, align_corners=True, padding_mode="zeros")
+        v_sel = grid_sample(v_flat, grid, align_corners=True, padding_mode="zeros")
+
+        # --- windowed attention -------------------------------------------
+        def to_windows(t, w):
+            # (B*nH, nh*w, nw*w, hd) -> (B*nh*nw, nH, w*w, hd)
+            t = t.reshape(B, nH, nh, w, nw, w, hd)
+            return t.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
+                B * nh * nw, nH, w * w, hd)
+
+        qw = to_windows(q.reshape(B * nH, Hp, Wp, hd), ws)
+        kw = to_windows(k_sel, aws)
+        vw = to_windows(v_sel, aws)
+
+        dots = jnp.einsum("wnqc,wnkc->wnqk", qw, kw,
+                          preferred_element_type=jnp.float32) * scale
+        # reference passes the *unscaled* q into the rel-pos contraction here
+        dots = add_decomposed_rel_pos(dots, qw.astype(jnp.float32), (ws, ws),
+                                      (aws, aws), rel_pos_h, rel_pos_w)
+        dots = dots + swin_rel_pos_bias(bias_table, swin_rel_pos_index(ws, aws))
+        attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("wnqk,wnkc->wnqc", attn, vw,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+
+        out = out.reshape(B, nh, nw, nH, ws, ws, hd)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(B, Hp, Wp, nH * hd)
+        out = out[:, pt:pt + H, pl:pl + W]
+        out = nn.Dense(self.dim, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(), name="proj")(out)
+        return out
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    full_attn: bool
+    grid_size: Tuple[int, int]
+    window_size: int = 7
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    init_values: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.full_attn:
+            attn = FullAttention(self.dim, self.num_heads, self.grid_size,
+                                 self.qkv_bias, dtype=self.dtype, name="attn")
+        else:
+            attn = RVSAAttention(self.dim, self.num_heads, self.window_size,
+                                 self.window_size, self.qkv_bias,
+                                 dtype=self.dtype, name="attn")
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
+
+        def branch(h):
+            return attn(ln("norm1")(h), deterministic)
+
+        def mlp_branch(h):
+            return Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                       dtype=self.dtype, name="mlp")(ln("norm2")(h), deterministic)
+
+        g1 = g2 = None
+        if self.init_values is not None:
+            g1 = self.param("gamma_1", nn.initializers.constant(self.init_values),
+                            (self.dim,))
+            g2 = self.param("gamma_2", nn.initializers.constant(self.init_values),
+                            (self.dim,))
+
+        rng = (self.make_rng("dropout")
+               if (not deterministic and self.drop_path_rate > 0.0) else None)
+        a = branch(x)
+        if g1 is not None:
+            a = a * g1.astype(a.dtype)
+        x = x + drop_path(a, self.drop_path_rate, deterministic, rng)
+        m = mlp_branch(x)
+        if g2 is not None:
+            m = m * g2.astype(m.dtype)
+        rng2 = (self.make_rng("dropout")
+                if (not deterministic and self.drop_path_rate > 0.0) else None)
+        x = x + drop_path(m, self.drop_path_rate, deterministic, rng2)
+        return x
+
+
+class Norm2d(nn.Module):
+    """Channels-last LayerNorm used inside the simple-FPN deconv stack."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+
+
+class SimpleFPN(nn.Module):
+    """ViTDet-style simple feature pyramid (reference fpn1..fpn4, :640-668):
+    strides 4, 8, 16, 32 from the 16-stride token grid, all `dim` channels."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Tuple[Array, ...]:
+        f1, f2, f3, f4 = feats
+        up = lambda c, name: nn.ConvTranspose(
+            c, (2, 2), strides=(2, 2), dtype=self.dtype, name=name)
+        x1 = up(self.dim, "fpn1_deconv1")(f1)
+        x1 = Norm2d(name="fpn1_norm")(x1.astype(jnp.float32)).astype(self.dtype)
+        x1 = nn.gelu(x1, approximate=False)
+        x1 = up(self.dim, "fpn1_deconv2")(x1)
+        x2 = up(self.dim, "fpn2_deconv1")(f2)
+        x3 = f3
+        x4 = nn.max_pool(f4, (2, 2), strides=(2, 2))
+        return x1, x2, x3, x4
+
+
+class ViTRVSA(nn.Module):
+    """The backbone: patch embed → interleaved RVSA/full blocks → simple FPN.
+
+    Returns 4 NHWC pyramid levels (strides 4/8/16/32, all embed_dim channels),
+    like the reference `forward_features` (:787-813).  `features_only=True`
+    skips the FPN and returns the raw 16-stride maps at out_indices.
+    """
+
+    cfg: BackboneConfig
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True,
+                 features_only: bool = False):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        B, H, W, _ = x.shape
+        p = cfg.patch_size
+        Hp, Wp = H // p, W // p
+
+        x = nn.Conv(cfg.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    dtype=dtype, name="patch_embed")(x.astype(dtype))  # (B, Hp, Wp, D)
+
+        if cfg.use_abs_pos_emb:
+            pos = self.param("pos_embed", trunc_normal_init(),
+                             (1, Hp, Wp, cfg.embed_dim))
+            x = x + pos.astype(dtype)
+        if cfg.drop_rate > 0.0:
+            x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        block_outs = {}
+        for i in range(cfg.depth):
+            block = Block(
+                dim=cfg.embed_dim, num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                full_attn=((i + 1) % cfg.interval == 0),
+                grid_size=(Hp, Wp), window_size=cfg.window_size,
+                qkv_bias=cfg.qkv_bias, drop_path_rate=float(dpr[i]),
+                init_values=cfg.init_values, dtype=dtype, name=f"blocks_{i}")
+            if cfg.remat:
+                x = nn.remat(Block.__call__, static_argnums=(2,))(block, x, deterministic)
+            else:
+                x = block(x, deterministic)
+            if i in cfg.out_indices:
+                block_outs[i] = x
+
+        feats = [block_outs[i] for i in cfg.out_indices]
+        if features_only:
+            return tuple(feats)
+        return SimpleFPN(cfg.embed_dim, dtype=dtype, name="fpn")(feats)
+
+
+def rescale_block_init(params: dict, depth: int) -> dict:
+    """Reference `fix_init_weight` (:676-682): divide each block's attn-proj
+    and mlp-fc2 kernels by sqrt(2*(layer_id+1)) at init time."""
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    p = params["params"] if "params" in params else params
+    for i in range(depth):
+        blk = p[f"blocks_{i}"]
+        r = 1.0 / math.sqrt(2.0 * (i + 1))
+        blk["attn"]["proj"]["kernel"] = blk["attn"]["proj"]["kernel"] * r
+        blk["mlp"]["fc2"]["kernel"] = blk["mlp"]["fc2"]["kernel"] * r
+    return params
+
+
+def init_backbone(cfg: BackboneConfig, rng: jax.Array,
+                  input_hw: Optional[Tuple[int, int]] = None) -> dict:
+    """Initialize backbone params (with the reference's init rescaling)."""
+    H, W = input_hw or (cfg.img_size, cfg.img_size)
+    model = ViTRVSA(cfg)
+    variables = model.init(rng, jnp.zeros((1, H, W, cfg.in_chans), jnp.float32))
+    return rescale_block_init(variables["params"], cfg.depth)

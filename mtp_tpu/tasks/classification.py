@@ -1,0 +1,114 @@
+"""Scene-classification task driver (EuroSAT / RESISC-45 recipe shape).
+
+End-to-end equivalent of the reference's mmpretrain flow
+(RS_Tasks_Finetune/Scene_Classification): build classifier, AdamW+layer-decay,
+warmup+cosine schedule, jitted sharded train step, top-k accuracy eval.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtp_tpu.core.optim import make_optimizer, make_schedule
+from mtp_tpu.core.train import (TrainState, create_state, make_train_step,
+                                shard_state, softmax_xent)
+from mtp_tpu.eval.metrics import topk_accuracy
+from mtp_tpu.models.classifier import ImageClassifier
+from mtp_tpu.models.vit_rvsa import rescale_block_init
+from mtp_tpu.parallel.mesh import batch_sharding, make_mesh
+from mtp_tpu.utils.config import TaskConfig
+
+
+class ClassificationTask:
+    def __init__(self, cfg: TaskConfig, mesh=None):
+        self.cfg = cfg
+        self.model = ImageClassifier(cfg.backbone, cfg.num_classes)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.train.mesh)
+        schedule = make_schedule(cfg.train.schedule, cfg.train.optimizer.lr)
+        self._schedule_cfg = schedule
+        self._tx = None
+        self._step_fn = None
+
+    # -- init ---------------------------------------------------------------
+    def init_state(self, rng: jax.Array,
+                   pretrained_backbone: Optional[dict] = None) -> TrainState:
+        cfg = self.cfg
+        shape = (1, cfg.backbone.img_size, cfg.backbone.img_size,
+                 cfg.backbone.in_chans)
+        variables = self.model.init(rng, jnp.zeros(shape, jnp.float32))
+        params = dict(variables["params"])
+        params["backbone"] = rescale_block_init(params["backbone"],
+                                                cfg.backbone.depth)
+        if pretrained_backbone is not None:
+            params["backbone"] = pretrained_backbone
+
+        schedule = make_schedule(cfg.train.schedule, cfg.train.optimizer.lr)
+
+        def layer_id(path: str, num_layers: int) -> int:
+            # params are rooted at backbone/...; head params get max id
+            from mtp_tpu.core.optim import vit_layer_id
+            if path.startswith("backbone/"):
+                return vit_layer_id(path[len("backbone/"):], num_layers)
+            return num_layers - 1
+
+        self._tx = make_optimizer(cfg.train.optimizer, schedule, params,
+                                  cfg.backbone.depth, layer_id_fn=layer_id)
+        state = create_state(params, self._tx, rng)
+        return shard_state(self.mesh, state)
+
+    # -- train --------------------------------------------------------------
+    def train_step_fn(self):
+        if self._step_fn is not None:
+            return self._step_fn
+
+        model = self.model
+
+        def loss_fn(params, batch_stats, batch, rng):
+            images, labels = batch["image"], batch["label"]
+            logits = model.apply({"params": params}, images,
+                                 deterministic=False, rngs={"dropout": rng})
+            loss = softmax_xent(logits, labels)
+            acc = (logits.argmax(-1) == labels).mean() * 100.0
+            return loss, ({"acc": acc}, batch_stats)
+
+        self._step_fn = make_train_step(loss_fn, self._tx, self.mesh)
+        return self._step_fn
+
+    def fit(self, state: TrainState, data: Iterator[Dict[str, np.ndarray]],
+            steps: int, log_every: int = 50,
+            log_fn: Callable[[int, dict], None] = None) -> Tuple[TrainState, dict]:
+        step_fn = self.train_step_fn()
+        sh = batch_sharding(self.mesh)
+        metrics = {}
+        for i in range(steps):
+            batch = next(data)
+            batch = {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+            state, metrics = step_fn(state, batch)
+            if log_fn and (i % log_every == 0 or i == steps - 1):
+                log_fn(i, {k: float(v) for k, v in metrics.items()})
+        return state, {k: float(v) for k, v in metrics.items()}
+
+    # -- eval ---------------------------------------------------------------
+    def evaluate(self, state: TrainState,
+                 data: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:
+        model = self.model
+
+        @jax.jit
+        def fwd(params, images):
+            return model.apply({"params": params}, images, deterministic=True)
+
+        sh = batch_sharding(self.mesh)
+        tot, hits = 0, {"top1": 0.0, "top5": 0.0}
+        for batch in data:
+            images = jax.device_put(jnp.asarray(batch["image"]), sh)
+            logits = fwd(state.params, images)
+            accs = topk_accuracy(logits, jnp.asarray(batch["label"]))
+            n = images.shape[0]
+            tot += n
+            for k in hits:
+                hits[k] += float(accs[k]) * n
+        return {k: v / max(tot, 1) for k, v in hits.items()}
