@@ -1,0 +1,128 @@
+"""RoIAlign (horizontal + rotated) as bilinear grid sampling — TPU-native.
+
+Replaces mmcv's CUDA `RoIAlign` / `RoIAlignRotated` (used by the reference
+RoI heads).  Each RoI bin is sampled at a fixed `sampling_ratio`² grid of
+points (bilinear, like torchvision aligned=True), then averaged.
+
+Deviation from mmcv: sampling_ratio=0 ("adaptive" — ceil(roi/out) samples per
+bin) is data-dependent and cannot be static; we default to 2 samples/bin,
+the value mmcv effectively uses for typical RoI sizes and the standard choice
+in TPU detection stacks.  Numerics are otherwise identical (aligned=True
+half-pixel offset).
+
+The multi-level extractor computes all levels for all RoIs and selects by the
+mmdet scale rule — 4x the RoIAlign FLOPs but fully static, and RoIAlign is
+a negligible fraction of the backbone cost.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mtp_tpu.ops.grid_sample import grid_sample
+
+Array = jax.Array
+
+
+def _bin_grid(out_size: int, sampling: int) -> jnp.ndarray:
+    """Normalized sample offsets within a RoI: (out*sampling,) in [0, 1]."""
+    n = out_size * sampling
+    # center of each of the n sample cells
+    return (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+
+
+def roi_align(feat: Array, rois: Array, batch_idx: Array, out_size: int,
+              spatial_scale: float, sampling: int = 2) -> Array:
+    """feat (B, H, W, C); rois (R, 4) x1y1x2y2 in image coords;
+    batch_idx (R,) int32 → (R, out, out, C)."""
+    B, H, W, C = feat.shape
+    R = rois.shape[0]
+    n = out_size * sampling
+
+    x1 = rois[:, 0] * spatial_scale - 0.5
+    y1 = rois[:, 1] * spatial_scale - 0.5
+    x2 = rois[:, 2] * spatial_scale - 0.5
+    y2 = rois[:, 3] * spatial_scale - 0.5
+    w = x2 - x1
+    h = y2 - y1
+
+    g = _bin_grid(out_size, sampling)
+    sx = x1[:, None] + w[:, None] * g[None, :]   # (R, n)
+    sy = y1[:, None] + h[:, None] * g[None, :]
+
+    # to grid_sample coords [-1, 1], align_corners=True over (W-1)
+    gx = sx / jnp.maximum(W - 1, 1) * 2.0 - 1.0
+    gy = sy / jnp.maximum(H - 1, 1) * 2.0 - 1.0
+    grid = jnp.stack([jnp.broadcast_to(gx[:, None, :], (R, n, n)),
+                      jnp.broadcast_to(gy[:, :, None], (R, n, n))], axis=-1)
+
+    per_roi = feat[batch_idx]  # (R, H, W, C) gather
+    sampled = grid_sample(per_roi, grid, align_corners=True,
+                          padding_mode="border")
+    # average pool sampling² cells per bin
+    sampled = sampled.reshape(R, out_size, sampling, out_size, sampling, C)
+    return sampled.mean(axis=(2, 4))
+
+
+def roi_align_rotated(feat: Array, rois: Array, batch_idx: Array,
+                      out_size: int, spatial_scale: float,
+                      sampling: int = 2, clockwise: bool = False) -> Array:
+    """Rotated RoIAlign: rois (R, 5) = (cx, cy, w, h, angle[rad]).
+
+    mmcv RoIAlignRotated semantics (angle rotates the box around its center;
+    clockwise=False means positive angle = counter-clockwise in image coords).
+    """
+    B, H, W, C = feat.shape
+    R = rois.shape[0]
+    n = out_size * sampling
+
+    cx = rois[:, 0] * spatial_scale - 0.5
+    cy = rois[:, 1] * spatial_scale - 0.5
+    rw = rois[:, 2] * spatial_scale
+    rh = rois[:, 3] * spatial_scale
+    ang = rois[:, 4]
+    if clockwise:
+        ang = -ang
+
+    g = _bin_grid(out_size, sampling) - 0.5      # centered offsets [-0.5, 0.5]
+    ox = rw[:, None] * g[None, :]                 # (R, n) local x
+    oy = rh[:, None] * g[None, :]                 # (R, n) local y
+    cos = jnp.cos(ang)[:, None, None]
+    sin = jnp.sin(ang)[:, None, None]
+    lx = ox[:, None, :]                           # (R, 1, n) broadcast rows=y
+    ly = oy[:, :, None]                           # (R, n, 1)
+    sx = cx[:, None, None] + lx * cos - ly * sin
+    sy = cy[:, None, None] + lx * sin + ly * cos
+
+    gx = sx / jnp.maximum(W - 1, 1) * 2.0 - 1.0
+    gy = sy / jnp.maximum(H - 1, 1) * 2.0 - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)           # (R, n, n, 2)
+
+    per_roi = feat[batch_idx]
+    sampled = grid_sample(per_roi, grid, align_corners=True,
+                          padding_mode="border")
+    sampled = sampled.reshape(R, out_size, sampling, out_size, sampling, C)
+    return sampled.mean(axis=(2, 4))
+
+
+def map_roi_levels(rois: Array, num_levels: int, finest_scale: int = 56) -> Array:
+    """mmdet SingleRoIExtractor level mapping: floor(log2(sqrt(area)/56))."""
+    scale = jnp.sqrt(jnp.maximum(
+        (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]), 1e-6))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
+def multilevel_roi_align(feats: Sequence[Array], rois: Array, batch_idx: Array,
+                         out_size: int, strides: Sequence[int],
+                         sampling: int = 2) -> Array:
+    """Compute RoIAlign on every level, select per-RoI level (static shapes)."""
+    lvls = map_roi_levels(rois, len(feats))
+    outs = jnp.stack([
+        roi_align(f, rois, batch_idx, out_size, 1.0 / s, sampling)
+        for f, s in zip(feats, strides)], axis=0)  # (L, R, out, out, C)
+    return jnp.take_along_axis(
+        outs, lvls[None, :, None, None, None], axis=0)[0]

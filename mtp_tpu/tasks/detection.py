@@ -1,0 +1,264 @@
+"""Detection task: fixed-shape training loss + padded prediction for
+Faster R-CNN / Mask R-CNN / Oriented R-CNN.
+
+Mirrors the reference two-stage flow (train_before_roihead →
+gen_sampling_results → bbox_loss → mask branch; predict via proposals →
+bbox head → NMS; instance_segmentation/mask_rcnn.py:137-243 and
+rotated_detection/two_stage.py) with every list replaced by padded tensors:
+
+batch dict:
+  image     (B, H, W, 3)
+  gt_boxes  (B, G, 4) hbox  or (B, G, 5) rbox when rotated
+  gt_labels (B, G) int32
+  gt_valid  (B, G) bool
+  gt_masks  (B, G, H/4, W/4) float binary (only when with_mask; rasterized at
+            stride 4 by the data pipeline — mask targets are RoIAligned from
+            this map instead of full-res crops, a documented deviation)
+
+TPU deviations documented inline: per-image loss averaging (vs global
+avg_factor), global top-k pre-NMS, capped multiclass candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtp_tpu.heads.rpn import RPNOut, gen_proposals, rpn_loss
+from mtp_tpu.heads.roi_heads import bbox_head_loss, mask_head_loss
+from mtp_tpu.models.detector import DetConfig, TwoStageDetector
+from mtp_tpu.ops.anchors import AnchorGenerator
+from mtp_tpu.ops.assign import AssignResult, max_iou_assign, random_sample
+from mtp_tpu.ops.boxes import bbox_overlaps, delta_decode, delta_encode
+from mtp_tpu.ops.nms import NEG_INF, batched_nms
+from mtp_tpu.ops.roi_align import roi_align, roi_align_rotated
+from mtp_tpu.ops.rotated_boxes import (delta_decode_rbox, delta_encode_rbox,
+                                       midpoint_encode, rbox2hbox_overlaps,
+                                       rbox_overlaps, rbox_to_hbox)
+
+Array = jax.Array
+
+
+def anchors_for(det: DetConfig, img_hw: Tuple[int, int]) -> np.ndarray:
+    gen = AnchorGenerator(strides=(4, 8, 16, 32, 64))
+    sizes = [( (img_hw[0] + s - 1) // s, (img_hw[1] + s - 1) // s)
+             for s in (4, 8, 16, 32, 64)]
+    return gen.grid_flat(sizes)
+
+
+class Detections(NamedTuple):
+    boxes: Array    # (B, N, 4|5)
+    scores: Array   # (B, N)
+    labels: Array   # (B, N)
+    valid: Array    # (B, N)
+    mask_logits: Optional[Array] = None  # (B, N, m, m) gt-class channel
+
+
+def detection_loss(model: TwoStageDetector, variables, batch: Dict[str, Array],
+                   rng: Array, anchors: np.ndarray) -> Tuple[Array, Dict[str, Array]]:
+    det = model.det
+    img = batch["image"]
+    B, H, W, _ = img.shape
+    gt_boxes = batch["gt_boxes"]
+    gt_labels = batch["gt_labels"]
+    gt_valid = batch["gt_valid"]
+    A = jnp.asarray(anchors)
+
+    feats = model.apply(variables, img, method=TwoStageDetector.features)
+    rpn_out = model.apply(variables, feats, method=TwoStageDetector.rpn)
+
+    gt_hbox = rbox_to_hbox(gt_boxes) if det.rotated else gt_boxes
+
+    # ---------------- RPN ----------------
+    def rpn_one(scores, deltas, gh, gb, gv, r):
+        assign = max_iou_assign(A, gh, gv, None, det.rpn_pos_iou,
+                                det.rpn_neg_iou, det.rpn_min_pos_iou, True)
+        sample = random_sample(assign, r, det.rpn_num, det.rpn_pos_fraction)
+        a_s = A[sample.inds]
+        if det.rotated:
+            tgt = midpoint_encode(a_s, gb[sample.gt_inds],
+                                  stds=(1., 1., 1., 1., 0.5, 0.5))
+        else:
+            tgt = delta_encode(a_s, gb[sample.gt_inds])
+        return rpn_loss(RPNOut(scores, deltas), A, sample, tgt,
+                        det.rpn_smooth_l1_beta)
+
+    rngs = jax.random.split(rng, B + 1)
+    rpn_losses = jax.vmap(rpn_one)(rpn_out.cls_scores, rpn_out.deltas,
+                                   gt_hbox, gt_boxes, gt_valid, rngs[:B])
+    losses = {k: v.mean() for k, v in rpn_losses.items()}
+
+    # ---------------- proposals (no grad) ----------------
+    props, prop_scores = gen_proposals(
+        jax.tree.map(jax.lax.stop_gradient, rpn_out), A, (H, W),
+        det.nms_pre, det.max_proposals, det.rpn_nms_iou, det.rotated)
+
+    # add gt as proposals (reference rcnn sampler add_gt_as_proposals=True)
+    props_all = jnp.concatenate([props, gt_boxes], axis=1)
+    prop_valid = jnp.concatenate(
+        [prop_scores > NEG_INF / 2, gt_valid], axis=1)
+
+    # ---------------- RCNN assign/sample ----------------
+    def rcnn_one(pb, pv, gb, gv, gl, r):
+        if det.rotated:
+            ious = rbox_overlaps(gb, pb)
+        else:
+            ious = bbox_overlaps(gb, pb)
+        # padded gts → 0 overlap (no-gt image = all negatives);
+        # invalid proposals → ignore
+        ious = jnp.where(gv[:, None], ious, 0.0)
+        ious = jnp.where(pv[None, :], ious, -1.0)
+        assign = _assign_from_ious(ious, gl, det.rcnn_pos_iou,
+                                   det.rcnn_neg_iou, det.rcnn_pos_iou,
+                                   det.rcnn_match_low_quality)
+        sample = random_sample(assign, r, det.rcnn_num, det.rcnn_pos_fraction)
+        rois = pb[sample.inds]
+        gt_for = gb[sample.gt_inds]
+        if det.rotated:
+            tgt = delta_encode_rbox(rois, gt_for, stds=det.bbox_stds)
+        else:
+            tgt = delta_encode(rois, gt_for, stds=det.bbox_stds)
+        return sample, rois, tgt
+
+    samples, rois, tgts = jax.vmap(rcnn_one)(
+        props_all, prop_valid, gt_boxes, gt_valid, gt_labels,
+        jax.random.split(rngs[B], B))
+
+    R = det.rcnn_num
+    flat_rois = rois.reshape(B * R, rois.shape[-1])
+    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+    cls_logits, reg_pred = model.apply(variables, feats, flat_rois, batch_idx,
+                                       method=TwoStageDetector.box_head)
+
+    flat_sample = jax.tree.map(lambda x: x.reshape(B * R, *x.shape[2:]), samples)
+    bl = bbox_head_loss(cls_logits, reg_pred, flat_sample,
+                        tgts.reshape(B * R, -1), det.num_classes,
+                        det.reg_class_agnostic, det.rcnn_smooth_l1_beta)
+    losses.update(bl)
+
+    # ---------------- mask branch ----------------
+    if det.with_mask:
+        mask_logits = model.apply(variables, feats, flat_rois, batch_idx,
+                                  method=TwoStageDetector.mask_head_logits)
+        # targets: RoIAlign the assigned instance's stride-4 binary mask
+        gm = batch["gt_masks"]  # (B, G, H/4, W/4)
+        G = gm.shape[1]
+        flat_gt = flat_sample.gt_inds + batch_idx * G
+        mask_imgs = gm.reshape(B * G, gm.shape[2], gm.shape[3], 1)
+        m = det.mask_size
+        if det.rotated:
+            tgt_masks = roi_align_rotated(mask_imgs, flat_rois, flat_gt,
+                                          m, 0.25, clockwise=True)
+        else:
+            tgt_masks = roi_align(mask_imgs, flat_rois, flat_gt, m, 0.25)
+        losses.update(mask_head_loss(mask_logits, tgt_masks[..., 0],
+                                     flat_sample))
+
+    total = sum(v for k, v in losses.items() if k.startswith("loss"))
+    metrics = {k: v for k, v in losses.items()}
+    return total, metrics
+
+
+def _assign_from_ious(ious: Array, gt_labels: Array, pos_thr: float,
+                      neg_thr: float, min_pos_iou: float,
+                      match_low_quality: bool) -> AssignResult:
+    """MaxIoUAssigner core on a precomputed (G, P) IoU matrix (invalid
+    entries already set to -1)."""
+    P = ious.shape[1]
+    max_ious = ious.max(axis=0)
+    argmax_gt = ious.argmax(axis=0)
+    gt_inds = jnp.full((P,), -1, jnp.int32)
+    gt_inds = jnp.where((max_ious < neg_thr) & (max_ious >= 0), 0, gt_inds)
+    gt_inds = jnp.where(max_ious >= pos_thr,
+                        argmax_gt.astype(jnp.int32) + 1, gt_inds)
+    if match_low_quality:
+        gt_max = ious.max(axis=1)
+        is_best = (ious == gt_max[:, None]) & (gt_max[:, None] >= min_pos_iou) \
+            & (ious > 0)
+        gt_ids = jnp.arange(ious.shape[0], dtype=jnp.int32) + 1
+        best = jnp.where(is_best, gt_ids[:, None], 0).max(axis=0)
+        gt_inds = jnp.where(best > 0, best, gt_inds)
+    safe = jnp.clip(gt_inds - 1, 0, ious.shape[0] - 1)
+    labels = jnp.where(gt_inds > 0, gt_labels[safe], -1)
+    return AssignResult(gt_inds, max_ious, labels)
+
+
+# ---------------------------------------------------------------------------
+# prediction
+# ---------------------------------------------------------------------------
+
+def detection_predict(model: TwoStageDetector, variables,
+                      img: Array, anchors: np.ndarray,
+                      nms_pre: Optional[int] = None) -> Detections:
+    det = model.det
+    B, H, W, _ = img.shape
+    A = jnp.asarray(anchors)
+
+    feats = model.apply(variables, img, method=TwoStageDetector.features)
+    rpn_out = model.apply(variables, feats, method=TwoStageDetector.rpn)
+    props, prop_scores = gen_proposals(rpn_out, A, (H, W),
+                                       nms_pre or det.nms_pre,
+                                       det.max_proposals, det.rpn_nms_iou,
+                                       det.rotated)
+
+    P = props.shape[1]
+    flat_rois = props.reshape(B * P, props.shape[-1])
+    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
+    cls_logits, reg_pred = model.apply(variables, feats, flat_rois, batch_idx,
+                                       method=TwoStageDetector.box_head)
+    C = det.num_classes
+    probs = jax.nn.softmax(cls_logits, axis=-1)[:, :C].reshape(B, P, C)
+    D = 5 if det.rotated else 4
+    if det.reg_class_agnostic:
+        reg = jnp.broadcast_to(reg_pred.reshape(B, P, 1, D), (B, P, C, D))
+    else:
+        reg = reg_pred.reshape(B, P, C, D)
+
+    decode = delta_decode_rbox if det.rotated else delta_decode
+
+    def one(pb, pv, pr, sc):
+        # decode per-class boxes
+        rois_c = jnp.broadcast_to(pb[:, None, :], (P, C, D))
+        if det.rotated:
+            boxes = delta_decode_rbox(rois_c, pr, stds=det.bbox_stds)
+        else:
+            boxes = delta_decode(rois_c, pr, stds=det.bbox_stds,
+                                 max_shape=(H, W))
+        flat_boxes = boxes.reshape(P * C, D)
+        flat_scores = jnp.where(
+            (sc > det.score_thr) & pv[:, None], sc, NEG_INF).reshape(P * C)
+        flat_labels = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :], (P, C)).reshape(P * C)
+        # cap candidates before the O(N²) NMS (mmdet filters by score first)
+        ncand = min(det.max_per_img * 10, P * C)
+        top_s, top_i = jax.lax.top_k(flat_scores, ncand)
+        if det.rotated:
+            iou_fn = lambda a, b: rbox_overlaps(a, b)
+        else:
+            iou_fn = None
+        keep_i, keep_s = batched_nms(flat_boxes[top_i], top_s,
+                                     flat_labels[top_i], det.test_nms_iou,
+                                     det.max_per_img, iou_fn=iou_fn)
+        sel = top_i[keep_i]
+        return (flat_boxes[sel], keep_s, flat_labels[sel],
+                keep_s > NEG_INF / 2)
+
+    boxes, scores, labels, valid = jax.vmap(one)(
+        props, prop_scores > NEG_INF / 2, reg, probs)
+
+    mask_logits = None
+    if det.with_mask:
+        N = det.max_per_img
+        flat_b = boxes.reshape(B * N, D)
+        bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
+        ml = model.apply(variables, feats, flat_b, bidx,
+                         method=TwoStageDetector.mask_head_logits)
+        m = ml.shape[1]
+        sel = jnp.clip(labels.reshape(B * N), 0, C - 1)
+        ml = ml[jnp.arange(B * N), :, :, sel]
+        mask_logits = ml.reshape(B, N, m, m)
+
+    return Detections(boxes, scores, labels, valid, mask_logits)

@@ -1,0 +1,234 @@
+"""Detection op tests: IoU/coder vs naive numpy, NMS vs a greedy reference,
+anchors vs hand-computed values, assigner/sampler invariants, RoIAlign
+numerics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mtp_tpu.ops.boxes import bbox_overlaps, delta_decode, delta_encode
+from mtp_tpu.ops.anchors import AnchorGenerator, base_anchors
+from mtp_tpu.ops.nms import NEG_INF, batched_nms, nms
+from mtp_tpu.ops.assign import max_iou_assign, random_sample
+from mtp_tpu.ops.roi_align import map_roi_levels, roi_align, roi_align_rotated
+
+
+def np_iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(aa[:, None] + ab[None] - inter, 1e-6)
+
+
+def rand_boxes(rng, n, size=100):
+    xy = rng.uniform(0, size, (n, 2))
+    wh = rng.uniform(5, 40, (n, 2))
+    return np.concatenate([xy, xy + wh], -1).astype(np.float32)
+
+
+def test_iou_matches_numpy():
+    rng = np.random.default_rng(0)
+    a, b = rand_boxes(rng, 12), rand_boxes(rng, 7)
+    got = np.asarray(bbox_overlaps(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, np_iou(a, b), atol=1e-5)
+
+
+def test_delta_coder_roundtrip():
+    rng = np.random.default_rng(1)
+    props = rand_boxes(rng, 20)
+    gts = rand_boxes(rng, 20)
+    stds = (0.1, 0.1, 0.2, 0.2)
+    d = delta_encode(jnp.asarray(props), jnp.asarray(gts), stds=stds)
+    back = delta_decode(jnp.asarray(props), d, stds=stds)
+    np.testing.assert_allclose(np.asarray(back), gts, atol=1e-3)
+
+
+def test_delta_decode_clamps():
+    rois = jnp.asarray([[0., 0., 10., 10.]])
+    deltas = jnp.asarray([[0., 0., 99., 99.]])  # extreme growth clipped
+    out = np.asarray(delta_decode(rois, deltas))
+    assert np.isfinite(out).all()
+    # dw clipped at |log(16/1000)| = 4.135 → growth factor ≤ 62.5
+    assert (out[0, 2] - out[0, 0]) <= 10 * 62.6
+
+
+def test_base_anchors_mmdet_values():
+    # stride 4, scale 8, ratios 0.5/1/2 → areas = (4*8)² with aspect ratios
+    b = base_anchors(4, [8], [0.5, 1.0, 2.0])
+    w = b[:, 2] - b[:, 0]
+    h = b[:, 3] - b[:, 1]
+    np.testing.assert_allclose(w * h, [32 * 32] * 3, rtol=1e-5)
+    np.testing.assert_allclose(h / w, [0.5, 1.0, 2.0], rtol=1e-5)
+    # centered at origin (center_offset 0)
+    np.testing.assert_allclose(b[:, 0] + b[:, 2], 0, atol=1e-5)
+
+
+def test_grid_anchor_layout():
+    gen = AnchorGenerator(strides=(8,), scales=(8,), ratios=(1.0,))
+    a = gen.grid([(2, 3)])[0]
+    assert a.shape == (6, 4)
+    # location-major: second anchor shifted by stride in x
+    np.testing.assert_allclose(a[1] - a[0], [8, 0, 8, 0])
+    np.testing.assert_allclose(a[3] - a[0], [0, 8, 0, 8])
+
+
+def greedy_nms_ref(boxes, scores, thr):
+    order = np.argsort(-scores)
+    keep = []
+    sup = np.zeros(len(boxes), bool)
+    for i in order:
+        if scores[i] <= NEG_INF / 2 or sup[i]:
+            continue
+        keep.append(i)
+        ious = np_iou(boxes[i:i + 1], boxes)[0]
+        sup |= ious > thr
+        sup[i] = True  # self-overlap, but already kept
+    return keep
+
+
+def test_nms_matches_greedy():
+    rng = np.random.default_rng(2)
+    boxes = rand_boxes(rng, 64, 60)
+    scores = rng.uniform(0, 1, 64).astype(np.float32)
+    scores[50:] = NEG_INF  # padding
+    idx, s = jax.jit(nms, static_argnums=(2, 3))(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 20)
+    got = [int(i) for i, sc in zip(np.asarray(idx), np.asarray(s))
+           if sc > NEG_INF / 2]
+    assert got == greedy_nms_ref(boxes, scores, 0.5)[:20]  # capped at max_out
+
+
+def test_batched_nms_classes_dont_suppress():
+    boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    # same class: one suppressed
+    i1, s1 = batched_nms(boxes, scores, jnp.asarray([0, 0]), 0.5, 2)
+    assert (np.asarray(s1) > NEG_INF / 2).sum() == 1
+    # different classes: both kept
+    i2, s2 = batched_nms(boxes, scores, jnp.asarray([0, 1]), 0.5, 2)
+    assert (np.asarray(s2) > NEG_INF / 2).sum() == 2
+
+
+def test_assigner_rules():
+    anchors = jnp.asarray([
+        [0, 0, 10, 10],     # iou 1.0 with gt0
+        [0, 0, 9, 10],      # high iou with gt0
+        [50, 50, 60, 60],   # iou 0 → negative
+        [0, 0, 4, 10],      # iou 0.4 → between thresholds → ignore
+    ], jnp.float32)
+    gts = jnp.asarray([[0, 0, 10, 10], [0, 0, 0, 0]], jnp.float32)
+    valid = jnp.asarray([True, False])
+    labels = jnp.asarray([3, 0], jnp.int32)
+    res = max_iou_assign(anchors, gts, valid, labels,
+                         pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3)
+    gi = np.asarray(res.gt_inds)
+    assert gi[0] == 1 and gi[1] == 1   # pos
+    assert gi[2] == 0                   # neg
+    assert gi[3] == -1                  # ignore
+    assert np.asarray(res.labels)[0] == 3
+
+
+def test_low_quality_match():
+    # gt1's best anchor has IoU 0.35 (< pos_thr) but >= min_pos_iou → matched
+    anchors = jnp.asarray([[0, 0, 10, 10], [20, 20, 26, 34]], jnp.float32)
+    gts = jnp.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+    valid = jnp.asarray([True, True])
+    res = max_iou_assign(anchors, gts, valid, pos_iou_thr=0.7,
+                         neg_iou_thr=0.3, min_pos_iou=0.3,
+                         match_low_quality=True)
+    assert np.asarray(res.gt_inds)[1] == 2
+
+
+def test_sampler_counts_and_validity():
+    A = 100
+    gt_inds = np.zeros(A, np.int32)
+    gt_inds[:10] = 1          # 10 positives
+    gt_inds[10:20] = -1       # ignored
+    from mtp_tpu.ops.assign import AssignResult
+    res = AssignResult(jnp.asarray(gt_inds), jnp.ones(A) * 0.5,
+                       jnp.where(jnp.asarray(gt_inds) > 0, 2, -1))
+    s = random_sample(res, jax.random.PRNGKey(0), num=32, pos_fraction=0.25)
+    is_pos = np.asarray(s.is_pos)
+    valid = np.asarray(s.valid)
+    assert is_pos.sum() == 8            # expected_pos = 8 ≤ 10 available
+    assert valid.all()                  # 80 negatives available to fill
+    # sampled indices map back to true positives
+    assert all(gt_inds[i] == 1 for i in np.asarray(s.inds)[is_pos])
+    # positives sorted first
+    assert is_pos[:8].all()
+
+    # only 3 positives available → 3 pos + 29 neg
+    gt_inds2 = np.zeros(A, np.int32)
+    gt_inds2[:3] = 1
+    res2 = AssignResult(jnp.asarray(gt_inds2), jnp.ones(A) * 0.5,
+                        jnp.where(jnp.asarray(gt_inds2) > 0, 2, -1))
+    s2 = random_sample(res2, jax.random.PRNGKey(1), num=32, pos_fraction=0.25)
+    assert np.asarray(s2.is_pos).sum() == 3
+    assert np.asarray(s2.valid).all()
+
+
+def test_roi_align_constant_field():
+    """On a constant feature map every RoI bin equals the constant."""
+    feat = jnp.full((1, 16, 16, 3), 5.0)
+    rois = jnp.asarray([[2., 2., 10., 10.], [0., 0., 16., 16.]])
+    out = roi_align(feat, rois, jnp.zeros(2, jnp.int32), 7, 1.0)
+    np.testing.assert_allclose(np.asarray(out), 5.0, atol=1e-5)
+
+
+def test_roi_align_linear_field():
+    """On f(x,y)=x the bin average equals the bin-center x coordinate."""
+    W = 32
+    xs = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (W, W))
+    feat = xs[None, :, :, None]
+    rois = jnp.asarray([[4., 4., 20., 20.]])
+    out = np.asarray(roi_align(feat, rois, jnp.zeros(1, jnp.int32), 4, 1.0))[0, :, :, 0]
+    # n = 4*2 = 8 sample cells over w=16; first bin averages cells 0,1 at
+    # offsets (0.5/8, 1.5/8) → x = 3.5 + 16*(0.0625+0.1875)/2 = 5.5
+    expect0 = (4 - 0.5) + 16 * (0.0625 + 0.1875) / 2
+    np.testing.assert_allclose(out[0, 0], expect0, atol=1e-4)
+    # rows constant in a horizontal-gradient field
+    np.testing.assert_allclose(out[0], out[3], atol=1e-4)
+
+
+def test_roi_align_rotated_matches_horizontal_at_zero_angle():
+    rng = np.random.default_rng(3)
+    feat = jnp.asarray(rng.standard_normal((1, 24, 24, 4)).astype(np.float32))
+    # box (4,6)-(18,14) as rotated (cx=11, cy=10, w=14, h=8, 0)
+    h_out = roi_align(feat, jnp.asarray([[4., 6., 18., 14.]]),
+                      jnp.zeros(1, jnp.int32), 7, 1.0)
+    r_out = roi_align_rotated(feat, jnp.asarray([[11., 10., 14., 8., 0.]]),
+                              jnp.zeros(1, jnp.int32), 7, 1.0)
+    np.testing.assert_allclose(np.asarray(h_out), np.asarray(r_out), atol=1e-5)
+
+
+def test_roi_align_rotated_90deg():
+    """Rotating the RoI by 90° == transposing the sampled patch of a field."""
+    W = 24
+    xs = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (W, W))
+    feat = xs[None, :, :, None]  # f = x
+    base = np.asarray(roi_align_rotated(
+        feat, jnp.asarray([[12., 12., 8., 8., 0.]]), jnp.zeros(1, jnp.int32),
+        4, 1.0))[0, :, :, 0]
+    rot = np.asarray(roi_align_rotated(
+        feat, jnp.asarray([[12., 12., 8., 8., np.pi / 2]]),
+        jnp.zeros(1, jnp.int32), 4, 1.0))[0, :, :, 0]
+    # after +90° the local x axis points along image +y; f=x depends only on
+    # image x = cx - ly (local y) → columns constant, decreasing with row
+    np.testing.assert_allclose(rot[:, 0], rot[:, 3], atol=1e-4)
+    np.testing.assert_allclose(base[0, :], base[3, :], atol=1e-4)
+    assert rot[0, 0] > rot[3, 0]
+
+
+def test_map_roi_levels():
+    rois = jnp.asarray([
+        [0, 0, 20, 20],      # scale 20 → lvl 0
+        [0, 0, 112, 112],    # scale 112 → lvl 1
+        [0, 0, 224, 224],    # lvl 2
+        [0, 0, 448, 448],    # lvl 3
+        [0, 0, 1000, 1000],  # clipped to 3
+    ], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(map_roi_levels(rois, 4)),
+                                  [0, 1, 2, 3, 3])
