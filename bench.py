@@ -16,15 +16,24 @@ import time
 
 import numpy as np
 
+# persistent compile cache: the ViT-L slide program is compiled once and
+# reused across bench invocations/rounds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 TILE = int(os.environ.get("BENCH_TILE", "512"))
 ITERS = int(os.environ.get("BENCH_ITERS", "8"))
 BASELINE_IMGS_PER_SEC = 1.0 / 0.84
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    log(f"bench: devices={jax.devices()} batch={BATCH} tile={TILE}")
     from mtp_tpu.utils.config import SlideConfig, vit_l_rvsa
     from mtp_tpu.models.segmentor import Segmentor
     from mtp_tpu.heads.upernet import resize_bilinear
@@ -54,7 +63,9 @@ def main():
         jnp.float32)
 
     # compile + warmup
+    t0 = time.perf_counter()
     predict(images).block_until_ready()
+    log(f"bench: compile+warmup {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     for _ in range(ITERS):

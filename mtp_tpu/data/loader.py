@@ -1,0 +1,146 @@
+"""Host data pipeline: fixed-shape collation + background prefetch.
+
+Replaces the reference's DataLoader + in-loop `parse_datainfos`/`data_augs`
+(a known CPU bottleneck — annotation parsing ran in the training process,
+SURVEY.md §3.5): here samples are transformed in worker threads and collated
+into the fixed-shape padded batches the jitted step consumes, with a
+double-buffered prefetch so host work overlaps device steps.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mtp_tpu.data.transforms import Sample
+
+
+def pad_instances(boxes: np.ndarray, labels: np.ndarray, max_n: int,
+                  dim: int) -> Dict[str, np.ndarray]:
+    """Zero-pad instance arrays to max_n with a validity mask."""
+    n = min(len(boxes), max_n)
+    out_b = np.zeros((max_n, dim), np.float32)
+    out_l = np.zeros((max_n,), np.int32)
+    out_v = np.zeros((max_n,), bool)
+    if n:
+        out_b[:n] = boxes[:n]
+        out_l[:n] = labels[:n]
+        out_v[:n] = True
+    return {"boxes": out_b, "labels": out_l, "valid": out_v}
+
+
+def collate_detection(samples: Sequence[Sample], max_gts: int,
+                      rotated: bool = False, with_masks: bool = False,
+                      mask_stride: int = 4) -> Dict[str, np.ndarray]:
+    """Stack samples into the fixed-shape batch dict of tasks/detection.py."""
+    images = np.stack([s["image"] for s in samples]).astype(np.float32)
+    B, H, W, _ = images.shape
+    key = "rboxes" if rotated else "hboxes"
+    lkey = "rlabels" if rotated else "labels"
+    dim = 5 if rotated else 4
+    packed = [pad_instances(s.get(key, np.zeros((0, dim))),
+                            s.get(lkey, np.zeros((0,), np.int32)),
+                            max_gts, dim) for s in samples]
+    batch = {
+        "image": images,
+        "gt_boxes": np.stack([p["boxes"] for p in packed]),
+        "gt_labels": np.stack([p["labels"] for p in packed]),
+        "gt_valid": np.stack([p["valid"] for p in packed]),
+    }
+    if with_masks:
+        hs, ws = H // mask_stride, W // mask_stride
+        gm = np.zeros((B, max_gts, hs, ws), np.float32)
+        for b, s in enumerate(samples):
+            masks = s.get("masks")
+            if masks is None:
+                continue
+            n = min(len(masks), max_gts)
+            if n:
+                gm[b, :n] = masks[:n, ::mask_stride, ::mask_stride]
+        batch["gt_masks"] = gm
+    return batch
+
+
+def collate_segmentation(samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
+    return {
+        "image": np.stack([s["image"] for s in samples]).astype(np.float32),
+        "label": np.stack([s["sem_seg"] for s in samples]).astype(np.int32),
+    }
+
+
+def collate_multitask(samples: Sequence[Sample], max_gts: int,
+                      mask_stride: int = 4) -> Dict[str, np.ndarray]:
+    """One dataset's joint batch for the multi-task pretrainer."""
+    det_h = collate_detection(samples, max_gts, rotated=False,
+                              with_masks=True, mask_stride=mask_stride)
+    det_r = collate_detection(samples, max_gts, rotated=True)
+    return {
+        "image": det_h["image"],
+        "ss_label": np.stack([s["sem_seg"] for s in samples]).astype(np.int32),
+        "gt_boxes": det_h["gt_boxes"], "gt_labels": det_h["gt_labels"],
+        "gt_valid": det_h["gt_valid"], "gt_masks": det_h["gt_masks"],
+        "r_gt_boxes": det_r["gt_boxes"], "r_gt_labels": det_r["gt_labels"],
+        "r_gt_valid": det_r["gt_valid"],
+    }
+
+
+class Loader:
+    """Minimal epoch loader: dataset with __len__/__getitem__ returning a
+    Sample (already transformed), collated to fixed shapes, prefetched on a
+    background thread."""
+
+    def __init__(self, dataset, batch_size: int, collate: Callable,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + epoch_idx)
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = [self.dataset[int(i)] for i in idxs]
+                    q.put(self.collate(samples))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def forever(self) -> Iterator[Dict[str, np.ndarray]]:
+        e = 0
+        while True:
+            yield from self.epoch(e)
+            e += 1

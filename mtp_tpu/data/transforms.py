@@ -1,0 +1,319 @@
+"""Joint label-aware augmentations (host-side numpy).
+
+Capability parity with the reference pipeline
+(Multi-Task_Pretrain/augmentations.py): every transform keeps image,
+semantic map, instance masks, horizontal boxes AND rotated boxes consistent.
+A sample is a plain dict:
+
+  image    (H, W, 3) float32 (RGB, 0-255 until Normalize)
+  sem_seg  (H, W) int32           [optional]
+  hboxes   (N, 4) float32 x1y1x2y2 [optional]
+  labels   (N,) int32              [optional]
+  masks    (N, H, W) uint8         [optional]
+  rboxes   (M, 5) float32 cx cy w h theta [optional]
+  rlabels  (M,) int32              [optional]
+
+Transforms mirror the reference semantics (flip/resize/crop rules incl. the
+joint validity filter, recompute-bbox-from-mask, and crop-resample):
+MTP_RandomFlip :564, MTP_RandomResize/Resize :677/1621, MTP_RandomCrop :863,
+INS_FilterAnnotations :1158, MTP_PhotoMetricDistortion :1252, MTP_Pad :1749.
+All run on numpy on host; the TPU sees only fixed-shape batches.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+Sample = Dict[str, np.ndarray]
+
+
+def _has(s: Sample, k: str) -> bool:
+    return k in s and s[k] is not None and len(s[k]) > 0
+
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+def _resize_image(img: np.ndarray, size: Tuple[int, int],
+                  nearest: bool = False) -> np.ndarray:
+    from PIL import Image
+    h, w = size
+    mode = Image.NEAREST if nearest else Image.BILINEAR
+    if img.ndim == 2:
+        return np.asarray(Image.fromarray(img).resize((w, h), mode))
+    arr = Image.fromarray(img.astype(np.uint8) if img.dtype != np.uint8
+                          else img)
+    return np.asarray(arr.resize((w, h), mode)).astype(img.dtype)
+
+
+def resize(sample: Sample, scale: Tuple[int, int],
+           keep_ratio: bool = True) -> Sample:
+    """scale = (w, h) target (mmcv convention)."""
+    H, W = sample["image"].shape[:2]
+    tw, th = scale
+    if keep_ratio:
+        f = min(tw / W, th / H)
+        nw, nh = int(W * f + 0.5), int(H * f + 0.5)
+    else:
+        nw, nh = tw, th
+    fx, fy = nw / W, nh / H
+    out = dict(sample)
+    out["image"] = _resize_image(sample["image"], (nh, nw)).astype(np.float32)
+    if "sem_seg" in sample:
+        out["sem_seg"] = _resize_image(sample["sem_seg"].astype(np.int32),
+                                       (nh, nw), nearest=True)
+    if _has(sample, "hboxes"):
+        out["hboxes"] = sample["hboxes"] * np.array([fx, fy, fx, fy],
+                                                    np.float32)
+    if _has(sample, "masks"):
+        out["masks"] = np.stack([
+            _resize_image(m, (nh, nw), nearest=True) for m in sample["masks"]])
+    if _has(sample, "rboxes"):
+        r = sample["rboxes"].copy()
+        # mmrotate rbox rescale: centers scale, w/h scale along the rotated
+        # axes via the project-rescale rule
+        r[:, 0] *= fx
+        r[:, 1] *= fy
+        if abs(fx - fy) < 1e-6:
+            r[:, 2] *= fx
+            r[:, 3] *= fy
+        else:
+            # anisotropic: rescale via corner projection
+            t = r[:, 4]
+            cos, sin = np.cos(t), np.sin(t)
+            w_vec = np.stack([r[:, 2] * cos * fx, r[:, 2] * sin * fy], -1)
+            h_vec = np.stack([-r[:, 3] * sin * fx, r[:, 3] * cos * fy], -1)
+            r[:, 2] = np.linalg.norm(w_vec, axis=-1)
+            r[:, 3] = np.linalg.norm(h_vec, axis=-1)
+            r[:, 4] = np.arctan2(w_vec[:, 1], w_vec[:, 0])
+        out["rboxes"] = r
+    return out
+
+
+def random_resize(sample: Sample, scale: Tuple[int, int],
+                  ratio_range: Tuple[float, float], rng: np.random.Generator,
+                  keep_ratio: bool = True) -> Sample:
+    r = rng.uniform(*ratio_range)
+    return resize(sample, (int(scale[0] * r), int(scale[1] * r)), keep_ratio)
+
+
+# ---------------------------------------------------------------------------
+# flip
+# ---------------------------------------------------------------------------
+
+def flip(sample: Sample, direction: str) -> Sample:
+    """direction in {'horizontal', 'vertical', 'diagonal'}."""
+    H, W = sample["image"].shape[:2]
+    out = dict(sample)
+
+    def f_img(a):
+        if direction == "horizontal":
+            return a[:, ::-1].copy()
+        if direction == "vertical":
+            return a[::-1].copy()
+        return a[::-1, ::-1].copy()
+
+    out["image"] = f_img(sample["image"])
+    if "sem_seg" in sample:
+        out["sem_seg"] = f_img(sample["sem_seg"])
+    if _has(sample, "masks"):
+        out["masks"] = np.stack([f_img(m) for m in sample["masks"]])
+    if _has(sample, "hboxes"):
+        b = sample["hboxes"].copy()
+        if direction in ("horizontal", "diagonal"):
+            b[:, [0, 2]] = W - sample["hboxes"][:, [2, 0]]
+        if direction in ("vertical", "diagonal"):
+            b[:, [1, 3]] = H - (b if direction == "diagonal"
+                                else sample["hboxes"])[:, [3, 1]]
+        out["hboxes"] = b
+    if _has(sample, "rboxes"):
+        r = sample["rboxes"].copy()
+        if direction in ("horizontal", "diagonal"):
+            r[:, 0] = W - r[:, 0]
+            r[:, 4] = -r[:, 4]
+        if direction in ("vertical", "diagonal"):
+            r[:, 1] = H - r[:, 1]
+            r[:, 4] = -r[:, 4]
+        # diagonal flips angle twice → back to original angle
+        out["rboxes"] = r
+    return out
+
+
+def random_flip(sample: Sample, rng: np.random.Generator,
+                prob: float = 0.5,
+                directions: Sequence[str] = ("horizontal",)) -> Sample:
+    if rng.uniform() < prob:
+        return flip(sample, directions[rng.integers(len(directions))])
+    return sample
+
+
+# ---------------------------------------------------------------------------
+# crop
+# ---------------------------------------------------------------------------
+
+def crop(sample: Sample, y0: int, x0: int, h: int, w: int,
+         min_size: float = 1e-3, recompute_bbox_from_mask: bool = False
+         ) -> Optional[Sample]:
+    """Crop and filter annotations.  Returns None if all instances vanish and
+    the sample had instances (reference allow_negative_crop=False →
+    resample)."""
+    out = dict(sample)
+    out["image"] = sample["image"][y0:y0 + h, x0:x0 + w].copy()
+    if "sem_seg" in sample:
+        out["sem_seg"] = sample["sem_seg"][y0:y0 + h, x0:x0 + w].copy()
+
+    had_instances = _has(sample, "hboxes") or _has(sample, "rboxes")
+
+    if _has(sample, "hboxes"):
+        b = sample["hboxes"] - np.array([x0, y0, x0, y0], np.float32)
+        b[:, 0::2] = b[:, 0::2].clip(0, w)
+        b[:, 1::2] = b[:, 1::2].clip(0, h)
+        keep = (b[:, 2] - b[:, 0] > min_size) & (b[:, 3] - b[:, 1] > min_size)
+        out["hboxes"] = b[keep]
+        if _has(sample, "labels"):
+            out["labels"] = sample["labels"][keep]
+        if _has(sample, "masks"):
+            m = sample["masks"][keep][:, y0:y0 + h, x0:x0 + w].copy()
+            out["masks"] = m
+            if recompute_bbox_from_mask and len(m):
+                out["hboxes"] = masks_to_boxes(m)
+    if _has(sample, "rboxes"):
+        r = sample["rboxes"].copy()
+        r[:, 0] -= x0
+        r[:, 1] -= y0
+        inside = (r[:, 0] >= 0) & (r[:, 0] < w) & (r[:, 1] >= 0) & (r[:, 1] < h)
+        out["rboxes"] = r[inside]
+        if _has(sample, "rlabels"):
+            out["rlabels"] = sample["rlabels"][inside]
+
+    if had_instances and not (_has(out, "hboxes") or _has(out, "rboxes")):
+        return None
+    return out
+
+
+def random_crop(sample: Sample, size: Tuple[int, int],
+                rng: np.random.Generator, cat_max_ratio: float = 1.0,
+                max_tries: int = 10) -> Sample:
+    """Random crop with resample-on-empty (reference data_augs loop
+    utils.py:114-131 + MTP_RandomCrop)."""
+    H, W = sample["image"].shape[:2]
+    ch, cw = min(size[0], H), min(size[1], W)
+    for _ in range(max_tries):
+        y0 = int(rng.integers(0, H - ch + 1))
+        x0 = int(rng.integers(0, W - cw + 1))
+        c = crop(sample, y0, x0, ch, cw)
+        if c is not None:
+            return c
+    # fall back to an unfiltered center crop
+    c = crop(sample, (H - ch) // 2, (W - cw) // 2, ch, cw)
+    return c if c is not None else dict(
+        sample, image=sample["image"][:ch, :cw],
+        **({"sem_seg": sample["sem_seg"][:ch, :cw]} if "sem_seg" in sample else {}))
+
+
+def masks_to_boxes(masks: np.ndarray) -> np.ndarray:
+    """(N, H, W) → (N, 4) tight boxes; empty masks give zero boxes."""
+    out = np.zeros((len(masks), 4), np.float32)
+    for i, m in enumerate(masks):
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            out[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# photometric distortion (reference MTP_PhotoMetricDistortion :1252)
+# ---------------------------------------------------------------------------
+
+def photometric_distortion(sample: Sample, rng: np.random.Generator,
+                           brightness_delta: float = 32,
+                           contrast_range: Tuple[float, float] = (0.5, 1.5),
+                           saturation_range: Tuple[float, float] = (0.5, 1.5),
+                           hue_delta: float = 18) -> Sample:
+    img = sample["image"].astype(np.float32)
+    if rng.integers(2):
+        img = img + rng.uniform(-brightness_delta, brightness_delta)
+    contrast_last = rng.integers(2)
+    if not contrast_last and rng.integers(2):
+        img = img * rng.uniform(*contrast_range)
+    # saturation / hue in HSV
+    if rng.integers(2) or rng.integers(2):
+        hsv = _rgb_to_hsv(img.clip(0, 255))
+        if rng.integers(2):
+            hsv[..., 1] = hsv[..., 1] * rng.uniform(*saturation_range)
+        if rng.integers(2):
+            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)) % 360
+        img = _hsv_to_rgb(hsv)
+    if contrast_last and rng.integers(2):
+        img = img * rng.uniform(*contrast_range)
+    return dict(sample, image=img.clip(0, 255).astype(np.float32))
+
+
+def _rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0] / 255, rgb[..., 1] / 255, rgb[..., 2] / 255
+    mx = np.max(rgb / 255, -1)
+    mn = np.min(rgb / 255, -1)
+    d = mx - mn + 1e-12
+    h = np.zeros_like(mx)
+    h = np.where(mx == r, (g - b) / d % 6, h)
+    h = np.where(mx == g, (b - r) / d + 2, h)
+    h = np.where(mx == b, (r - g) / d + 4, h)
+    h = h * 60
+    s = np.where(mx > 0, d / (mx + 1e-12), 0)
+    return np.stack([h, s, mx], -1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1].clip(0, 1), hsv[..., 2]
+    c = v * s
+    x = c * (1 - np.abs((h / 60) % 2 - 1))
+    m = v - c
+    z = np.zeros_like(c)
+    cond = [(h < 60)[..., None], (h < 120)[..., None], (h < 180)[..., None],
+            (h < 240)[..., None], (h < 300)[..., None], (h >= 300)[..., None]]
+    rgb = np.select(cond, [np.stack(t, -1) for t in
+                           [(c, x, z), (x, c, z), (z, c, x),
+                            (z, x, c), (x, z, c), (c, z, x)]])
+    return (rgb + m[..., None]) * 255
+
+
+# ---------------------------------------------------------------------------
+# normalize & pad
+# ---------------------------------------------------------------------------
+
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def normalize(sample: Sample, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> Sample:
+    img = (sample["image"].astype(np.float32) - mean) / std
+    return dict(sample, image=img)
+
+
+def pad_to(sample: Sample, size: Tuple[int, int], pad_val: float = 0.0,
+           seg_pad_val: int = 255) -> Sample:
+    H, W = sample["image"].shape[:2]
+    th, tw = size
+    ph, pw = max(th - H, 0), max(tw - W, 0)
+    if ph == 0 and pw == 0:
+        return sample
+    out = dict(sample)
+    out["image"] = np.pad(sample["image"], ((0, ph), (0, pw), (0, 0)),
+                          constant_values=pad_val)
+    if "sem_seg" in sample:
+        out["sem_seg"] = np.pad(sample["sem_seg"], ((0, ph), (0, pw)),
+                                constant_values=seg_pad_val)
+    if _has(sample, "masks"):
+        out["masks"] = np.pad(sample["masks"], ((0, 0), (0, ph), (0, pw)))
+    return out
+
+
+def pad_to_divisor(sample: Sample, divisor: int = 32, **kw) -> Sample:
+    H, W = sample["image"].shape[:2]
+    th = (H + divisor - 1) // divisor * divisor
+    tw = (W + divisor - 1) // divisor * divisor
+    return pad_to(sample, (th, tw), **kw)

@@ -27,9 +27,9 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None
     n = len(devices)
     model = cfg.model if cfg.model > 0 else 1
     data = cfg.data if cfg.data > 0 else n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+    arr = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

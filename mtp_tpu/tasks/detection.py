@@ -59,16 +59,35 @@ class Detections(NamedTuple):
 
 def detection_loss(model: TwoStageDetector, variables, batch: Dict[str, Array],
                    rng: Array, anchors: np.ndarray) -> Tuple[Array, Dict[str, Array]]:
+    """Single-task wrapper around `det_loss_core` using the detector's inline
+    final layers."""
     det = model.det
     img = batch["image"]
-    B, H, W, _ = img.shape
+    feats = model.apply(variables, img, method=TwoStageDetector.features)
+    rpn_out = model.apply(variables, feats, method=TwoStageDetector.rpn)
+
+    box_fn = lambda rois, bidx: model.apply(
+        variables, feats, rois, bidx, method=TwoStageDetector.box_head)
+    mask_fn = (lambda rois, bidx: model.apply(
+        variables, feats, rois, bidx,
+        method=TwoStageDetector.mask_head_logits)) if det.with_mask else None
+    return det_loss_core(det, anchors, img.shape[1:3], rpn_out, box_fn,
+                         mask_fn, batch, rng)
+
+
+def det_loss_core(det: DetConfig, anchors: np.ndarray,
+                  img_hw: Tuple[int, int], rpn_out: RPNOut, box_fn, mask_fn,
+                  batch: Dict[str, Array], rng: Array
+                  ) -> Tuple[Array, Dict[str, Array]]:
+    """Detection training loss from precomputed RPN outputs and head
+    callables — shared by single-task detectors and the multi-task
+    pretrainer (which swaps per-dataset final layers into box_fn/mask_fn)."""
+    H, W = img_hw
+    B = rpn_out.cls_scores.shape[0]
     gt_boxes = batch["gt_boxes"]
     gt_labels = batch["gt_labels"]
     gt_valid = batch["gt_valid"]
     A = jnp.asarray(anchors)
-
-    feats = model.apply(variables, img, method=TwoStageDetector.features)
-    rpn_out = model.apply(variables, feats, method=TwoStageDetector.rpn)
 
     gt_hbox = rbox_to_hbox(gt_boxes) if det.rotated else gt_boxes
 
@@ -130,8 +149,7 @@ def detection_loss(model: TwoStageDetector, variables, batch: Dict[str, Array],
     R = det.rcnn_num
     flat_rois = rois.reshape(B * R, rois.shape[-1])
     batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
-    cls_logits, reg_pred = model.apply(variables, feats, flat_rois, batch_idx,
-                                       method=TwoStageDetector.box_head)
+    cls_logits, reg_pred = box_fn(flat_rois, batch_idx)
 
     flat_sample = jax.tree.map(lambda x: x.reshape(B * R, *x.shape[2:]), samples)
     bl = bbox_head_loss(cls_logits, reg_pred, flat_sample,
@@ -140,9 +158,8 @@ def detection_loss(model: TwoStageDetector, variables, batch: Dict[str, Array],
     losses.update(bl)
 
     # ---------------- mask branch ----------------
-    if det.with_mask:
-        mask_logits = model.apply(variables, feats, flat_rois, batch_idx,
-                                  method=TwoStageDetector.mask_head_logits)
+    if det.with_mask and mask_fn is not None:
+        mask_logits = mask_fn(flat_rois, batch_idx)
         # targets: RoIAlign the assigned instance's stride-4 binary mask
         gm = batch["gt_masks"]  # (B, G, H/4, W/4)
         G = gm.shape[1]

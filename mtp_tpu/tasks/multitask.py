@@ -1,0 +1,110 @@
+"""Multi-task pretraining task driver.
+
+Capability parity with the reference training driver
+(Multi-Task_Pretrain/main_pretrain.py): 3 SAMRS datasets × 3 tasks, joint
+loss, AdamW + layer decay + cosine schedule, periodic checkpoints + the
+encoder-only export consumed by every finetune recipe.
+
+The train step jit-compiles the whole 9-way loss over the mesh (data
+parallel over ICI); the reference's DDP/GradScaler/SyncBN plumbing has no
+analog here — sharding + bf16 + global-batch BN fall out of SPMD.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtp_tpu.ckpt.store import CheckpointStore, save_encoder
+from mtp_tpu.core.optim import make_optimizer, make_schedule, vit_layer_id
+from mtp_tpu.core.train import TrainState, create_state, make_train_step, shard_state
+from mtp_tpu.models.multitask import MultiTaskPretrainModel, SAMRS_CLASSES
+from mtp_tpu.models.vit_rvsa import rescale_block_init
+from mtp_tpu.parallel.mesh import batch_sharding, make_mesh
+from mtp_tpu.tasks.detection import anchors_for
+from mtp_tpu.utils.config import TaskConfig
+
+
+class MultiTaskPretrainTask:
+    def __init__(self, cfg: TaskConfig, classes=SAMRS_CLASSES,
+                 det_overrides: Optional[dict] = None, mesh=None):
+        self.cfg = cfg
+        self.model = MultiTaskPretrainModel(cfg.backbone, tuple(classes),
+                                            det_overrides or {})
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.train.mesh)
+        s = cfg.backbone.img_size
+        self.anchors = anchors_for(None, (s, s))
+        self._tx = None
+        self._step_fn = None
+
+    def init_state(self, rng: jax.Array,
+                   pretrained_encoder: Optional[dict] = None) -> TrainState:
+        cfg = self.cfg
+        s = cfg.backbone.img_size
+        variables = self.model.init(rng, jnp.zeros((2, s, s, 3), jnp.float32))
+        params = dict(variables["params"])
+        params["encoder"] = rescale_block_init(params["encoder"], cfg.backbone.depth)
+        if pretrained_encoder is not None:
+            params["encoder"] = pretrained_encoder
+        batch_stats = variables.get("batch_stats", {})
+
+        schedule = make_schedule(cfg.train.schedule, cfg.train.optimizer.lr)
+
+        def layer_id(path: str, num_layers: int) -> int:
+            if path.startswith("encoder/"):
+                return vit_layer_id(path[len("encoder/"):], num_layers)
+            return num_layers - 1
+
+        self._tx = make_optimizer(cfg.train.optimizer, schedule, params,
+                                  cfg.backbone.depth, layer_id_fn=layer_id)
+        state = create_state(params, self._tx, rng, batch_stats=batch_stats)
+        return shard_state(self.mesh, state)
+
+    def train_step_fn(self):
+        if self._step_fn is not None:
+            return self._step_fn
+        model = self.model
+        anchors = self.anchors
+
+        def loss_fn(params, batch_stats, batch, rng):
+            batches = [batch["d0"], batch["d1"], batch["d2"]]
+            r1, r2 = jax.random.split(rng)
+            (total, losses), updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batches, r1, anchors, False,
+                method=MultiTaskPretrainModel.loss,
+                rngs={"dropout": r2}, mutable=["batch_stats"])
+            return total, (losses, updates["batch_stats"])
+
+        self._step_fn = make_train_step(loss_fn, self._tx, self.mesh)
+        return self._step_fn
+
+    def fit(self, state: TrainState, data: Iterator[Dict],
+            steps: int, log_every: int = 50,
+            ckpt: Optional[CheckpointStore] = None, ckpt_every: int = 1000,
+            encoder_path: Optional[str] = None,
+            log_fn: Callable[[int, dict], None] = None) -> Tuple[TrainState, dict]:
+        step_fn = self.train_step_fn()
+        sh = batch_sharding(self.mesh)
+        metrics = {}
+        for i in range(steps):
+            batch = next(data)
+            batch = jax.tree.map(
+                lambda v: jax.device_put(jnp.asarray(v), sh), batch)
+            state, metrics = step_fn(state, batch)
+            if log_fn and (i % log_every == 0 or i == steps - 1):
+                log_fn(i, {k: float(v) for k, v in metrics.items()})
+            if ckpt is not None and (i + 1) % ckpt_every == 0:
+                ckpt.save(int(state.step), state)
+                if encoder_path:
+                    save_encoder(encoder_path,
+                                 jax.tree.map(np.asarray, state.params["encoder"]))
+        if ckpt is not None:
+            ckpt.save(int(state.step), state, wait=True)
+            if encoder_path:
+                save_encoder(encoder_path,
+                             jax.tree.map(np.asarray, state.params["encoder"]))
+        return state, {k: float(v) for k, v in metrics.items()}

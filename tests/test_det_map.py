@@ -1,0 +1,102 @@
+"""mAP evaluation tests with hand-computed expectations + DOTA merge."""
+
+import numpy as np
+
+from mtp_tpu.eval.det_map import (average_precision, eval_coco_map, eval_map,
+                                  merge_dota_patches, parse_patch_id,
+                                  rbox_to_quad_np, write_dota_submission)
+
+
+def test_average_precision_perfect():
+    rec = np.array([0.5, 1.0])
+    prec = np.array([1.0, 1.0])
+    assert average_precision(rec, prec) == 1.0
+
+
+def test_eval_map_simple():
+    # 2 gts, 2 dets: one perfect match, one FP → AP = area under
+    # P(R): (1.0 @ r0.5); precision drops to 0.5 after the FP
+    im = {
+        "det_boxes": np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32),
+        "det_scores": np.array([0.9, 0.8], np.float32),
+        "det_labels": np.array([0, 0]),
+        "gt_boxes": np.array([[0, 0, 10, 10], [80, 80, 90, 90]], np.float32),
+        "gt_labels": np.array([0, 0]),
+    }
+    res = eval_map([im], num_classes=1)
+    assert abs(res["mAP"] - 50.0) < 1e-3  # recall .5 at precision 1
+
+
+def test_eval_map_rotated():
+    im = {
+        "det_boxes": np.array([[20, 20, 10, 6, 0.3]], np.float32),
+        "det_scores": np.array([0.9], np.float32),
+        "det_labels": np.array([0]),
+        "gt_boxes": np.array([[20, 20, 10, 6, 0.3]], np.float32),
+        "gt_labels": np.array([0]),
+    }
+    res = eval_map([im], num_classes=1, rotated=True)
+    assert res["mAP"] == 100.0
+
+
+def test_eval_map_ignores_difficult():
+    im = {
+        "det_boxes": np.array([[0, 0, 10, 10]], np.float32),
+        "det_scores": np.array([0.9], np.float32),
+        "det_labels": np.array([0]),
+        "gt_boxes": np.array([[0, 0, 10, 10]], np.float32),
+        "gt_labels": np.array([0]),
+        "gt_ignore": np.array([True]),
+    }
+    res = eval_map([im], num_classes=1)
+    # only an ignored gt: class has no countable gts → excluded (mAP 0)
+    assert res["AP"][0] == -1
+
+
+def test_coco_map_perfect():
+    im = {
+        "det_boxes": np.array([[0, 0, 10, 10]], np.float32),
+        "det_scores": np.array([0.9], np.float32),
+        "det_labels": np.array([0]),
+        "gt_boxes": np.array([[0, 0, 10, 10]], np.float32),
+        "gt_labels": np.array([0]),
+    }
+    res = eval_coco_map([im], num_classes=1)
+    assert res["mAP"] > 99.0 and res["AP50"] > 99.0
+
+
+def test_parse_patch_id():
+    assert parse_patch_id("P0006__1024___512") == ("P0006", 1024, 512)
+    assert parse_patch_id("P0006") == ("P0006", 0, 0)
+
+
+def test_merge_dota(tmp_path):
+    per_patch = {
+        "P1__0___0": {
+            "det_boxes": np.array([[100, 100, 20, 10, 0.2]], np.float32),
+            "det_scores": np.array([0.9], np.float32),
+            "det_labels": np.array([0]),
+        },
+        "P1__512___0": {
+            # after +512 x-offset this duplicates the first box → NMS'd away
+            "det_boxes": np.array([[100 - 512, 100, 20, 10, 0.2]], np.float32),
+            "det_scores": np.array([0.8], np.float32),
+            "det_labels": np.array([0]),
+        },
+    }
+    merged = merge_dota_patches(per_patch, num_classes=1)
+    assert set(merged) == {"P1"}
+    assert len(merged["P1"]["det_boxes"]) == 1
+    np.testing.assert_allclose(merged["P1"]["det_boxes"][0][:2], [100, 100])
+
+    write_dota_submission(merged, ["ship"], str(tmp_path / "sub"),
+                          str(tmp_path / "sub.zip"))
+    txt = (tmp_path / "sub" / "Task1_ship.txt").read_text().strip()
+    assert txt.startswith("P1 0.9")
+    assert (tmp_path / "sub.zip").exists()
+
+
+def test_rbox_to_quad():
+    q = rbox_to_quad_np(np.array([[10., 10., 4., 2., 0.]]))
+    assert sorted(q[0][::2].tolist()) == [8, 8, 12, 12]
+    assert sorted(q[0][1::2].tolist()) == [9, 9, 11, 11]

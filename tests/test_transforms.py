@@ -1,0 +1,98 @@
+"""Joint augmentation tests: flips/resize/crop keep all label types
+consistent."""
+
+import numpy as np
+
+from mtp_tpu.data.transforms import (crop, flip, masks_to_boxes, normalize,
+                                     pad_to_divisor, photometric_distortion,
+                                     random_crop, resize)
+
+
+def make_sample(H=40, W=60):
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    seg = np.zeros((H, W), np.int32)
+    seg[10:20, 10:30] = 2
+    masks = np.zeros((2, H, W), np.uint8)
+    masks[0, 10:20, 10:30] = 1
+    masks[1, 25:35, 40:55] = 1
+    hboxes = masks_to_boxes(masks)
+    rboxes = np.array([[20., 15., 20., 10., 0.3],
+                       [47., 30., 15., 8., -0.5]], np.float32)
+    return {"image": img, "sem_seg": seg, "hboxes": hboxes,
+            "labels": np.array([1, 2], np.int32), "masks": masks,
+            "rboxes": rboxes, "rlabels": np.array([0, 1], np.int32)}
+
+
+def test_hflip_consistency():
+    s = make_sample()
+    f = flip(s, "horizontal")
+    W = s["image"].shape[1]
+    # boxes track the flipped masks exactly
+    np.testing.assert_allclose(f["hboxes"], masks_to_boxes(f["masks"]))
+    # rbox center mirrored, angle negated
+    np.testing.assert_allclose(f["rboxes"][:, 0], W - s["rboxes"][:, 0])
+    np.testing.assert_allclose(f["rboxes"][:, 4], -s["rboxes"][:, 4])
+    # double flip = identity
+    f2 = flip(f, "horizontal")
+    np.testing.assert_allclose(f2["hboxes"], s["hboxes"])
+    np.testing.assert_array_equal(f2["image"], s["image"])
+
+
+def test_vflip_and_diagonal():
+    s = make_sample()
+    for d in ("vertical", "diagonal"):
+        f = flip(s, d)
+        np.testing.assert_allclose(f["hboxes"], masks_to_boxes(f["masks"]),
+                                   err_msg=d)
+
+
+def test_resize_keep_ratio():
+    s = make_sample(40, 60)
+    r = resize(s, (120, 120), keep_ratio=True)  # factor 2
+    assert r["image"].shape[:2] == (80, 120)
+    np.testing.assert_allclose(r["hboxes"], s["hboxes"] * 2)
+    np.testing.assert_allclose(r["rboxes"][:, :4], s["rboxes"][:, :4] * 2)
+    np.testing.assert_allclose(r["rboxes"][:, 4], s["rboxes"][:, 4])
+    assert r["sem_seg"].shape == (80, 120)
+    assert set(np.unique(r["sem_seg"])) <= {0, 2}
+
+
+def test_crop_filters_and_shifts():
+    s = make_sample()
+    c = crop(s, 5, 5, 20, 30)  # keeps instance 0 only
+    assert len(c["hboxes"]) == 1
+    np.testing.assert_allclose(c["hboxes"][0], [5, 5, 25, 15])
+    assert c["labels"].tolist() == [1]
+    assert len(c["rboxes"]) == 1  # first rbox center (20,15) inside
+    np.testing.assert_allclose(c["rboxes"][0][:2], [15, 10])
+
+
+def test_crop_empty_returns_none():
+    s = make_sample()
+    assert crop(s, 0, 0, 5, 5) is None  # no instance survives
+
+
+def test_random_crop_resamples():
+    s = make_sample()
+    rng = np.random.default_rng(3)
+    c = random_crop(s, (20, 20), rng)
+    assert c["image"].shape[:2] == (20, 20)
+
+
+def test_normalize_pad():
+    s = make_sample(33, 45)
+    n = pad_to_divisor(normalize(s), 32)
+    assert n["image"].shape[:2] == (64, 64)
+    assert (n["sem_seg"][40:] == 255).all()
+    assert n["masks"].shape[1:] == (64, 64)
+
+
+def test_photometric_shapes():
+    s = make_sample()
+    rng = np.random.default_rng(1)
+    p = photometric_distortion(s, rng)
+    assert p["image"].shape == s["image"].shape
+    assert p["image"].min() >= 0 and p["image"].max() <= 255
+    # labels untouched
+    np.testing.assert_array_equal(p["hboxes"], s["hboxes"])
