@@ -44,8 +44,14 @@ def main():
     model = Segmentor(cfg, num_classes)
 
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 384, 384, 3), jnp.float32),
-                           train=False)
+    # jit the init: eager init would dispatch hundreds of tiny ops (very slow
+    # through a remote-device tunnel)
+    t0 = time.perf_counter()
+    variables = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, 384, 384, 3), jnp.float32),
+                             train=False))(rng)
+    jax.block_until_ready(variables)
+    log(f"bench: init {time.perf_counter() - t0:.1f}s")
     # pos_embed is sized for 384² crops inside the slide loop
     slide = SlideConfig(crop=384, stride=256)
 

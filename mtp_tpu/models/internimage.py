@@ -1,0 +1,164 @@
+"""InternImage backbone (DCNv3 CNN), TPU-native NHWC.
+
+Capability parity with the reference `InternImage`
+(Multi-Task_Pretrain/backbone/intern_image.py:336-727): stem (2x stride-2
+conv + LN), 4 stages of DCNv3 layers with MLPs, layer scale, post-norm
+(XL config), stride-2 conv downsampling between stages.  Outputs 4 pyramid
+levels at strides 4/8/16/32 with channels C, 2C, 4C, 8C.
+
+XL configuration (reference models.py:92-104): channels=192,
+depths (5, 5, 24, 5), groups (12, 24, 48, 96), layer_scale 1e-5,
+offset_scale 2.0, post_norm True, drop_path 0.2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mtp_tpu.models.vit_rvsa import drop_path
+from mtp_tpu.ops.dcnv3 import DCNv3
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class InternImageConfig:
+    channels: int = 192
+    depths: Tuple[int, ...] = (5, 5, 24, 5)
+    groups: Tuple[int, ...] = (12, 24, 48, 96)
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.2
+    layer_scale: Optional[float] = 1e-5
+    offset_scale: float = 2.0
+    post_norm: bool = True
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    dtype: str = "bfloat16"
+
+
+def internimage_xl() -> InternImageConfig:
+    return InternImageConfig()
+
+
+def internimage_t() -> InternImageConfig:
+    return InternImageConfig(channels=64, depths=(4, 4, 18, 4),
+                             groups=(4, 8, 16, 32), layer_scale=None,
+                             offset_scale=1.0, post_norm=False,
+                             drop_path_rate=0.1)
+
+
+class MLP(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class InternImageLayer(nn.Module):
+    channels: int
+    groups: int
+    mlp_ratio: float
+    drop_path_rate: float
+    layer_scale: Optional[float]
+    offset_scale: float
+    post_norm: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        ln = lambda n: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=n)
+        dcn = DCNv3(self.channels, group=self.groups,
+                    offset_scale=self.offset_scale, dtype=self.dtype,
+                    name="dcn")
+        mlp = MLP(int(self.channels * self.mlp_ratio), self.channels,
+                  dtype=self.dtype, name="mlp")
+        g1 = g2 = None
+        if self.layer_scale is not None:
+            g1 = self.param("gamma1",
+                            nn.initializers.constant(self.layer_scale),
+                            (self.channels,))
+            g2 = self.param("gamma2",
+                            nn.initializers.constant(self.layer_scale),
+                            (self.channels,))
+
+        def dp(t):
+            rng = (self.make_rng("dropout")
+                   if (not deterministic and self.drop_path_rate > 0) else None)
+            return drop_path(t, self.drop_path_rate, deterministic, rng)
+
+        if self.post_norm:
+            a = ln("norm1")(dcn(x))
+            if g1 is not None:
+                a = a * g1.astype(a.dtype)
+            x = x + dp(a)
+            b = ln("norm2")(mlp(x))
+            if g2 is not None:
+                b = b * g2.astype(b.dtype)
+            x = x + dp(b)
+        else:
+            a = dcn(ln("norm1")(x))
+            if g1 is not None:
+                a = a * g1.astype(a.dtype)
+            x = x + dp(a)
+            b = mlp(ln("norm2")(x))
+            if g2 is not None:
+                b = b * g2.astype(b.dtype)
+            x = x + dp(b)
+        return x
+
+
+class InternImage(nn.Module):
+    cfg: InternImageConfig
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True
+                 ) -> Tuple[Array, ...]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        x = x.astype(dtype)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-6, dtype=dtype, name=n)
+
+        # stem: conv s2 → LN → GELU → conv s2 → LN
+        x = nn.Conv(cfg.channels // 2, (3, 3), strides=(2, 2), padding=1,
+                    dtype=dtype, name="stem_conv1")(x)
+        x = nn.gelu(ln("stem_norm1")(x), approximate=False)
+        x = nn.Conv(cfg.channels, (3, 3), strides=(2, 2), padding=1,
+                    dtype=dtype, name="stem_conv2")(x)
+        x = ln("stem_norm2")(x)
+
+        total = sum(cfg.depths)
+        dpr = np.linspace(0, cfg.drop_path_rate, total)
+        outs = []
+        li = 0
+        for s, depth in enumerate(cfg.depths):
+            ch = cfg.channels * (2 ** s)
+            for i in range(depth):
+                x = InternImageLayer(
+                    ch, cfg.groups[s], cfg.mlp_ratio, float(dpr[li]),
+                    cfg.layer_scale, cfg.offset_scale, cfg.post_norm,
+                    dtype=dtype, name=f"stage{s}_layer{i}")(x, deterministic)
+                li += 1
+            feat = x
+            if not cfg.post_norm:
+                feat = ln(f"stage{s}_norm")(feat)
+            if s in cfg.out_indices:
+                outs.append(feat)
+            if s < len(cfg.depths) - 1:
+                x = nn.Conv(ch * 2, (3, 3), strides=(2, 2), padding=1,
+                            dtype=dtype, name=f"down{s}_conv")(x)
+                x = ln(f"down{s}_norm")(x)
+        return tuple(outs)
+
+    @property
+    def out_channels(self):
+        return tuple(self.cfg.channels * (2 ** s) for s in self.cfg.out_indices)
