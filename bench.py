@@ -39,7 +39,8 @@ def main():
     from mtp_tpu.heads.upernet import resize_bilinear
     from mtp_tpu.eval.slide import slide_inference
 
-    cfg = vit_l_rvsa(img_size=TILE, dtype="bfloat16")
+    # scanned block groups: one compiled group instead of 24 unrolled blocks
+    cfg = vit_l_rvsa(img_size=TILE, dtype="bfloat16", scan=True)
     num_classes = 2  # SpaceNet building segmentation
     model = Segmentor(cfg, num_classes)
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import numpy as np
 
 from mtp_tpu.utils.config import BackboneConfig
@@ -172,6 +173,35 @@ def convert_backbone(state_dict: Dict[str, "np.ndarray"],
     deconv("fpn1.3", "fpn/fpn1_deconv2")
     deconv("fpn2.0", "fpn/fpn2_deconv1")
     return p
+
+
+def to_scan_layout(params: dict, depth: int, interval: int) -> dict:
+    """Restack an unrolled param tree (blocks_i) into the scanned layout
+    (block_groups/{rvsa_p, full}/... with a leading group axis)."""
+    out = {k: v for k, v in params.items() if not k.startswith("blocks_")}
+    G = depth // interval
+    groups: dict = {}
+    for pos in range(interval):
+        name = "full" if pos == interval - 1 else f"rvsa_{pos}"
+        per_g = [params[f"blocks_{g * interval + pos}"] for g in range(G)]
+        groups[name] = jax.tree_util.tree_map(
+            lambda *leaves: np.stack(leaves, axis=0), *per_g)
+    out["block_groups"] = groups
+    return out
+
+
+def from_scan_layout(params: dict, depth: int, interval: int) -> dict:
+    """Inverse of `to_scan_layout` (for exporting scanned checkpoints back
+    to the unrolled naming, e.g. for torch-side consumers)."""
+    out = {k: v for k, v in params.items() if k != "block_groups"}
+    G = depth // interval
+    for pos in range(interval):
+        name = "full" if pos == interval - 1 else f"rvsa_{pos}"
+        stacked = params["block_groups"][name]
+        for g in range(G):
+            out[f"blocks_{g * interval + pos}"] = jax.tree_util.tree_map(
+                lambda leaf: np.asarray(leaf[g]), stacked)
+    return out
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, "np.ndarray"]:

@@ -64,6 +64,7 @@ def _path_str(path) -> str:
 
 
 _BLOCK_RX = re.compile(r"(?:^|/)blocks_(\d+)(?:/|$)")
+_GROUP_RX = re.compile(r"(?:^|/)block_groups/(rvsa_(\d+)|full)(?:/|$)")
 
 
 def vit_layer_id(path_str: str, num_layers: int) -> int:
@@ -79,24 +80,42 @@ def vit_layer_id(path_str: str, num_layers: int) -> int:
 
 
 def layer_decay_scales(params: Any, depth: int, rate: float,
-                       layer_id_fn: Callable[[str, int], int] = vit_layer_id) -> Any:
-    """Pytree of per-leaf LR multipliers `rate^(num_layers - id - 1)`."""
+                       layer_id_fn: Callable[[str, int], int] = vit_layer_id,
+                       scan_interval: Optional[int] = None) -> Any:
+    """Pytree of per-leaf LR multipliers `rate^(num_layers - id - 1)`.
+
+    Scanned backbones (block_groups layout) get per-leaf *arrays*: the leading
+    group axis carries block index g*interval + pos, so each stacked slice
+    keeps its exact reference scale."""
     num_layers = depth + 2
 
     def one(path, leaf):
-        lid = layer_id_fn(_path_str(path), num_layers)
+        s = _path_str(path)
+        m = _GROUP_RX.search(s)
+        if m is not None and scan_interval is not None:
+            pos = scan_interval - 1 if m.group(1) == "full" else int(m.group(2))
+            G = leaf.shape[0]
+            ids = jnp.arange(G) * scan_interval + pos + 1
+            sc = rate ** (num_layers - ids - 1)
+            return sc.reshape((G,) + (1,) * (leaf.ndim - 1)).astype(leaf.dtype)
+        lid = layer_id_fn(s, num_layers)
         return rate ** (num_layers - lid - 1)
 
     return jax.tree_util.tree_map_with_path(one, params)
 
 
 def wd_mask(params: Any) -> Any:
-    """True where weight decay applies: ndim>1 and not a pos-embed table.
-    (Reference: no decay for 1-dim params, biases, pos_embed.)"""
+    """True where weight decay applies: effective ndim>1, not bias/pos-embed/
+    norm-scale/layer-scale.  (Reference: no decay for 1-dim params, biases,
+    pos_embed.)  Leaves under the scanned block_groups layout carry a stacked
+    leading axis, so their effective ndim is one less."""
 
     def one(path, leaf):
         s = _path_str(path)
-        if leaf.ndim <= 1 or s.endswith("bias") or "pos_embed" in s:
+        ndim = leaf.ndim - (1 if "block_groups/" in s + "/" else 0)
+        if (ndim <= 1 or s.endswith("bias") or s.endswith("scale")
+                or "pos_embed" in s or s.endswith("gamma_1")
+                or s.endswith("gamma_2")):
             return False
         # relative-position tables are 2-D but norm-free lookup tables; the
         # reference decays them (they are plain nn.Parameters with ndim 2), so
@@ -119,13 +138,17 @@ def _scale_by_pytree(scales: Any) -> optax.GradientTransformation:
 def make_optimizer(cfg: OptimizerConfig, schedule: optax.Schedule, params: Any,
                    depth: int,
                    layer_id_fn: Callable[[str, int], int] = vit_layer_id,
-                   frozen_mask: Optional[Any] = None) -> optax.GradientTransformation:
+                   frozen_mask: Optional[Any] = None,
+                   scan_interval: Optional[int] = None) -> optax.GradientTransformation:
     """AdamW + layer decay, matching torch.optim.AdamW ordering.
 
     frozen_mask: optional pytree of bools — True leaves get zero updates
     (reference `frozen_stages` behaviour in the CD backbone).
+    scan_interval: block-group interval when the backbone uses the scanned
+    layout (per-slice layer-decay scales).
     """
-    scales = layer_decay_scales(params, depth, cfg.layer_decay, layer_id_fn)
+    scales = layer_decay_scales(params, depth, cfg.layer_decay, layer_id_fn,
+                                scan_interval)
     chain = [
         optax.clip_by_global_norm(cfg.clip_norm),
         optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps),

@@ -48,9 +48,10 @@ def trunc_normal_init(std: float = 0.02):
     return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
 
 
-def drop_path(x: Array, rate: float, deterministic: bool, rng) -> Array:
-    """Stochastic depth on the residual branch (per sample)."""
-    if deterministic or rate == 0.0:
+def drop_path(x: Array, rate, deterministic: bool, rng) -> Array:
+    """Stochastic depth on the residual branch (per sample).  `rate` may be a
+    traced scalar (scanned block groups pass per-block rates as inputs)."""
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -249,7 +250,8 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 dp_rate=None) -> Array:
         if self.full_attn:
             attn = FullAttention(self.dim, self.num_heads, self.grid_size,
                                  self.qkv_bias, dtype=self.dtype, name="attn")
@@ -273,19 +275,55 @@ class Block(nn.Module):
             g2 = self.param("gamma_2", nn.initializers.constant(self.init_values),
                             (self.dim,))
 
-        rng = (self.make_rng("dropout")
-               if (not deterministic and self.drop_path_rate > 0.0) else None)
+        rate = dp_rate if dp_rate is not None else self.drop_path_rate
+        use_dp = (not deterministic
+                  and (dp_rate is not None or self.drop_path_rate > 0.0))
+        rng = self.make_rng("dropout") if use_dp else None
         a = branch(x)
         if g1 is not None:
             a = a * g1.astype(a.dtype)
-        x = x + drop_path(a, self.drop_path_rate, deterministic, rng)
+        x = x + drop_path(a, rate, deterministic, rng)
         m = mlp_branch(x)
         if g2 is not None:
             m = m * g2.astype(m.dtype)
-        rng2 = (self.make_rng("dropout")
-                if (not deterministic and self.drop_path_rate > 0.0) else None)
-        x = x + drop_path(m, self.drop_path_rate, deterministic, rng2)
+        rng2 = self.make_rng("dropout") if use_dp else None
+        x = x + drop_path(m, rate, deterministic, rng2)
         return x
+
+
+class BlockGroup(nn.Module):
+    """One scan unit: (interval-1) RVSA blocks followed by 1 full-attention
+    block.  `nn.scan` over groups compiles the transformer once per group
+    shape instead of once per block — a ~interval× jit-time reduction for
+    deep models (ViT-L: 4 groups of 6 instead of 24 blocks)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    grid_size: Tuple[int, int]
+    window_size: int
+    qkv_bias: bool
+    init_values: Optional[float]
+    dtype: jnp.dtype
+    deterministic: bool = True  # static (scan would trace call-time args)
+    use_dp: bool = True         # static: whether drop-path rng is needed
+
+    @nn.compact
+    def __call__(self, x: Array, dpr: Array):
+        """x (B, H, W, C), dpr (interval,) per-block drop-path rates.
+        Returns (x, stacked per-block outputs (interval, B, H, W, C))."""
+        outs = []
+        interval = dpr.shape[0]
+        for p in range(interval):
+            full = (p == interval - 1)
+            x = Block(self.dim, self.num_heads, self.mlp_ratio, full,
+                      self.grid_size, self.window_size, self.qkv_bias, 1.0,
+                      self.init_values, dtype=self.dtype,
+                      name=("full" if full else f"rvsa_{p}"))(
+                x, self.deterministic,
+                dp_rate=dpr[p] if self.use_dp else None)
+            outs.append(x)
+        return x, jnp.stack(outs)
 
 
 class Norm2d(nn.Module):
@@ -348,21 +386,38 @@ class ViTRVSA(nn.Module):
             x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
-        block_outs = {}
-        for i in range(cfg.depth):
-            block = Block(
-                dim=cfg.embed_dim, num_heads=cfg.num_heads,
-                mlp_ratio=cfg.mlp_ratio,
-                full_attn=((i + 1) % cfg.interval == 0),
-                grid_size=(Hp, Wp), window_size=cfg.window_size,
-                qkv_bias=cfg.qkv_bias, drop_path_rate=float(dpr[i]),
-                init_values=cfg.init_values, dtype=dtype, name=f"blocks_{i}")
-            if cfg.remat:
-                x = nn.remat(Block.__call__, static_argnums=(2,))(block, x, deterministic)
-            else:
-                x = block(x, deterministic)
-            if i in cfg.out_indices:
-                block_outs[i] = x
+        if cfg.scan and cfg.depth % cfg.interval == 0:
+            G = cfg.depth // cfg.interval
+            scan = nn.scan(
+                nn.remat(BlockGroup) if cfg.remat else BlockGroup,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0, out_axes=0, length=G)
+            group = scan(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
+                         (Hp, Wp), cfg.window_size, cfg.qkv_bias,
+                         cfg.init_values, dtype, deterministic,
+                         cfg.drop_path_rate > 0.0, name="block_groups")
+            dpr_g = jnp.asarray(dpr.reshape(G, cfg.interval), jnp.float32)
+            x, ys = group(x, dpr_g)
+            # ys: (G, interval, B, H, W, C) → per-block outputs
+            all_outs = ys.reshape((cfg.depth,) + ys.shape[2:])
+            block_outs = {i: all_outs[i] for i in set(cfg.out_indices)}
+        else:
+            block_outs = {}
+            for i in range(cfg.depth):
+                block = Block(
+                    dim=cfg.embed_dim, num_heads=cfg.num_heads,
+                    mlp_ratio=cfg.mlp_ratio,
+                    full_attn=((i + 1) % cfg.interval == 0),
+                    grid_size=(Hp, Wp), window_size=cfg.window_size,
+                    qkv_bias=cfg.qkv_bias, drop_path_rate=float(dpr[i]),
+                    init_values=cfg.init_values, dtype=dtype, name=f"blocks_{i}")
+                if cfg.remat:
+                    x = nn.remat(Block.__call__, static_argnums=(2,))(block, x, deterministic)
+                else:
+                    x = block(x, deterministic)
+                if i in cfg.out_indices:
+                    block_outs[i] = x
 
         feats = [block_outs[i] for i in cfg.out_indices]
         if features_only:
@@ -372,9 +427,25 @@ class ViTRVSA(nn.Module):
 
 def rescale_block_init(params: dict, depth: int) -> dict:
     """Reference `fix_init_weight` (:676-682): divide each block's attn-proj
-    and mlp-fc2 kernels by sqrt(2*(layer_id+1)) at init time."""
+    and mlp-fc2 kernels by sqrt(2*(layer_id+1)) at init time.  Handles both
+    the unrolled (blocks_i) and scanned (block_groups with stacked leading
+    group axis) layouts."""
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
     p = params["params"] if "params" in params else params
+    if "block_groups" in p:
+        bg = p["block_groups"]
+        names = sorted(k for k in bg if k.startswith("rvsa_")) + ["full"]
+        interval = len(names)
+        for pos, name in enumerate(names):
+            blk = bg[name]
+            G = blk["attn"]["proj"]["kernel"].shape[0]
+            ids = np.arange(G) * interval + pos + 1  # 1-based layer ids
+            r = (1.0 / np.sqrt(2.0 * ids)).astype(np.float32)
+            for path in (("attn", "proj"), ("mlp", "fc2")):
+                k = blk[path[0]][path[1]]["kernel"]
+                blk[path[0]][path[1]]["kernel"] = \
+                    k * r.reshape((G,) + (1,) * (k.ndim - 1))
+        return params
     for i in range(depth):
         blk = p[f"blocks_{i}"]
         r = 1.0 / math.sqrt(2.0 * (i + 1))

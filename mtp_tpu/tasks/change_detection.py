@@ -60,7 +60,8 @@ class ChangeDetectionTask:
                 lambda p, _: str(getattr(p[0], "key", "")) == "backbone", params)
         self._tx = make_optimizer(cfg.train.optimizer, schedule, params,
                                   cfg.backbone.depth, layer_id_fn=layer_id,
-                                  frozen_mask=frozen_mask)
+                                  frozen_mask=frozen_mask,
+                                  scan_interval=(cfg.backbone.interval if cfg.backbone.scan else None))
         state = create_state(params, self._tx, rng, batch_stats=batch_stats)
         return shard_state(self.mesh, state)
 

@@ -56,7 +56,8 @@ class ClassificationTask:
             return num_layers - 1
 
         self._tx = make_optimizer(cfg.train.optimizer, schedule, params,
-                                  cfg.backbone.depth, layer_id_fn=layer_id)
+                                  cfg.backbone.depth, layer_id_fn=layer_id,
+                                  scan_interval=(cfg.backbone.interval if cfg.backbone.scan else None))
         state = create_state(params, self._tx, rng)
         return shard_state(self.mesh, state)
 

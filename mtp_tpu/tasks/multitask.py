@@ -59,7 +59,8 @@ class MultiTaskPretrainTask:
             return num_layers - 1
 
         self._tx = make_optimizer(cfg.train.optimizer, schedule, params,
-                                  cfg.backbone.depth, layer_id_fn=layer_id)
+                                  cfg.backbone.depth, layer_id_fn=layer_id,
+                                  scan_interval=(cfg.backbone.interval if cfg.backbone.scan else None))
         state = create_state(params, self._tx, rng, batch_stats=batch_stats)
         return shard_state(self.mesh, state)
 

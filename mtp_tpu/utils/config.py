@@ -55,6 +55,10 @@ class BackboneConfig:
     init_values: Optional[float] = None
     # remat every transformer block (reference use_checkpoint)
     remat: bool = False
+    # nn.scan over (interval)-block groups: ~interval× faster jit compiles;
+    # param tree becomes block_groups/{rvsa_p,full}/... with a stacked
+    # leading group axis (the checkpoint converter handles both layouts)
+    scan: bool = False
     # compute dtype ("bfloat16" or "float32"); params always float32
     dtype: str = "bfloat16"
 
