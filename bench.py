@@ -3,8 +3,16 @@
 North-star metric (BASELINE.json): 512²-tile images/sec/chip.  The reference
 datum is the SpaceNet test log (~0.84 s/img for ViT-L+RVSA UperNet slide
 crop 384 / stride 256, BASELINE.md) — vs_baseline is measured against that
-1/0.84 img/s figure.  Geometry here matches: 512² tiles, 384² crops, 256
-stride → 4 crops per tile, compiled as one jitted scan.
+1/0.84 img/s figure.  Geometry matches: 512² tiles, 384² crops, 256 stride
+→ 4 crops per tile.
+
+Implementation notes (TPU + remote-compile environment):
+- the backbone uses scanned block groups (one compiled group, not 24 blocks),
+- the slide loop is a host loop over per-crop jitted programs with on-device
+  logit accumulation (the fused whole-slide scan exceeds the remote compile
+  server's program size limit; the per-crop program is the same hot code),
+- timing is synced by fetching a scalar checksum (device-to-host of one f32),
+  because block_until_ready on the relay transport returns early.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -16,12 +24,14 @@ import time
 
 import numpy as np
 
-# persistent compile cache: the ViT-L slide program is compiled once and
+# persistent compile cache: the ViT-L crop program is compiled once and
 # reused across bench invocations/rounds
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 TILE = int(os.environ.get("BENCH_TILE", "512"))
+CROP = int(os.environ.get("BENCH_CROP", "384"))
+STRIDE = int(os.environ.get("BENCH_STRIDE", "256"))
 ITERS = int(os.environ.get("BENCH_ITERS", "8"))
 BASELINE_IMGS_PER_SEC = 1.0 / 0.84
 
@@ -33,54 +43,70 @@ def log(msg):
 def main():
     import jax
     import jax.numpy as jnp
-    log(f"bench: devices={jax.devices()} batch={BATCH} tile={TILE}")
-    from mtp_tpu.utils.config import SlideConfig, vit_l_rvsa
+    from mtp_tpu.utils.config import vit_l_rvsa
     from mtp_tpu.models.segmentor import Segmentor
     from mtp_tpu.heads.upernet import resize_bilinear
-    from mtp_tpu.eval.slide import slide_inference
+    from mtp_tpu.eval.slide import slide_origins
 
-    # scanned block groups: one compiled group instead of 24 unrolled blocks
+    log(f"bench: devices={jax.devices()} batch={BATCH} tile={TILE} "
+        f"crop={CROP} stride={STRIDE}")
     cfg = vit_l_rvsa(img_size=TILE, dtype="bfloat16", scan=True)
     num_classes = 2  # SpaceNet building segmentation
     model = Segmentor(cfg, num_classes)
 
-    rng = jax.random.PRNGKey(0)
-    # jit the init: eager init would dispatch hundreds of tiny ops (very slow
-    # through a remote-device tunnel)
     t0 = time.perf_counter()
     variables = jax.jit(
-        lambda r: model.init(r, jnp.zeros((1, 384, 384, 3), jnp.float32),
-                             train=False))(rng)
+        lambda r: model.init(r, jnp.zeros((1, CROP, CROP, 3), jnp.float32),
+                             train=False))(jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
     log(f"bench: init {time.perf_counter() - t0:.1f}s")
-    # pos_embed is sized for 384² crops inside the slide loop
-    slide = SlideConfig(crop=384, stride=256)
 
-    def apply_crop(tile):
-        out = model.apply(variables, tile, train=False, deterministic=True)
-        return resize_bilinear(out, tile.shape[1:3])
+    origins = slide_origins(TILE, TILE, CROP, STRIDE)
 
     @jax.jit
+    def crop_logits(variables, tile):
+        out = model.apply(variables, tile, train=False, deterministic=True)
+        return resize_bilinear(out, (CROP, CROP)).astype(jnp.float32)
+
+    @jax.jit
+    def accumulate(preds, logits, y, x):
+        patch = jax.lax.dynamic_slice(
+            preds, (0, y, x, 0), (BATCH, CROP, CROP, num_classes))
+        return jax.lax.dynamic_update_slice(preds, patch + logits, (0, y, x, 0))
+
+    @jax.jit
+    def extract(images, y, x):
+        return jax.lax.dynamic_slice(images, (0, y, x, 0),
+                                     (BATCH, CROP, CROP, 3))
+
+    @jax.jit
+    def checksum(preds):
+        return preds.sum()
+
     def predict(images):
-        logits = slide_inference(apply_crop, images, num_classes, slide)
-        return logits.argmax(-1)
+        preds = jnp.zeros((BATCH, TILE, TILE, num_classes), jnp.float32)
+        for (y, x) in origins:
+            tile = extract(images, y, x)
+            preds = accumulate(preds, crop_logits(variables, tile), y, x)
+        return preds
 
     images = jnp.asarray(
         np.random.default_rng(0).standard_normal((BATCH, TILE, TILE, 3)),
         jnp.float32)
 
-    # compile + warmup
+    # compile + warmup (sync via scalar fetch)
     t0 = time.perf_counter()
-    predict(images).block_until_ready()
+    float(checksum(predict(images)))
     log(f"bench: compile+warmup {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        pred = predict(images)
-    pred.block_until_ready()
+        preds = predict(images)
+    float(checksum(preds))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt
+    log(f"bench: {dt:.3f}s for {ITERS} iters of {BATCH} tiles")
     print(json.dumps({
         "metric": "vit_l_rvsa_upernet_slide512_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 3),

@@ -1,0 +1,154 @@
+"""Training CLI: `python -m mtp_tpu.cli.train <recipe> [options]`.
+
+Replaces the reference's per-suite `tools/train.py <config> --launcher slurm`
+entry points and the pretraining `main_pretrain.py` argparse CLI with one
+recipe-registry driver.  There is no launcher flag: SPMD over the mesh
+replaces process groups entirely.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def build_task(recipe, mesh_data: int, mesh_model: int):
+    import jax
+    from mtp_tpu import configs
+    from mtp_tpu.utils.config import MeshConfig
+
+    cfg = recipe.task
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, mesh=MeshConfig(data=mesh_data, model=mesh_model)))
+
+    if cfg.task == "classification":
+        from mtp_tpu.tasks.classification import ClassificationTask
+        return ClassificationTask(cfg), cfg
+    if cfg.task == "segmentation":
+        from mtp_tpu.tasks.segmentation import SegmentationTask
+        return SegmentationTask(cfg), cfg
+    if cfg.task == "change_detection":
+        from mtp_tpu.tasks.change_detection import ChangeDetectionTask
+        return ChangeDetectionTask(cfg), cfg
+    if cfg.task == "multitask":
+        from mtp_tpu.tasks.multitask import MultiTaskPretrainTask
+        return MultiTaskPretrainTask(cfg), cfg
+    raise SystemExit(f"task {cfg.task} has no generic CLI driver yet; "
+                     f"use the task API directly")
+
+
+def synthetic_data(cfg, batch_size: int):
+    """Synthetic batches for --synthetic smoke runs (shape-compatible with
+    the recipe)."""
+    rng = np.random.default_rng(0)
+    s = cfg.backbone.img_size
+
+    def gen():
+        while True:
+            if cfg.task == "classification":
+                yield {"image": rng.standard_normal(
+                    (batch_size, s, s, 3)).astype(np.float32),
+                    "label": rng.integers(0, cfg.num_classes, batch_size)}
+            elif cfg.task == "segmentation":
+                yield {"image": rng.standard_normal(
+                    (batch_size, s, s, 3)).astype(np.float32),
+                    "label": rng.integers(0, cfg.num_classes,
+                                          (batch_size, s, s))}
+            elif cfg.task == "change_detection":
+                yield {"image_a": rng.standard_normal(
+                    (batch_size, s, s, 3)).astype(np.float32),
+                    "image_b": rng.standard_normal(
+                        (batch_size, s, s, 3)).astype(np.float32),
+                    "label": rng.integers(0, 2, (batch_size, s, s))}
+            else:
+                raise SystemExit(f"--synthetic not supported for {cfg.task}")
+
+    return gen()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("recipe", help="recipe name (see --list)")
+    p.add_argument("--list", action="store_true")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override total steps")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--mesh-data", type=int, default=-1)
+    p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--pretrained", default=None,
+                   help="encoder checkpoint (.npz from save_encoder or a "
+                        "torch .pth — converted automatically)")
+    p.add_argument("--work-dir", default="work_dirs")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic data (smoke/benchmark runs)")
+    p.add_argument("--log-every", type=int, default=50)
+    args = p.parse_args(argv)
+
+    from mtp_tpu import configs
+    if args.list or args.recipe == "list":
+        print("\n".join(configs.available()))
+        return 0
+
+    import jax
+    from mtp_tpu.utils.log import JsonlLogger, make_logger
+
+    recipe = configs.get(args.recipe)
+    cfg = recipe.task
+    if args.steps:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, schedule=dataclasses.replace(
+                cfg.train.schedule, total_steps=args.steps)))
+    if args.batch_size:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=args.batch_size))
+    recipe = dataclasses.replace(recipe, task=cfg)
+
+    task, cfg = build_task(recipe, args.mesh_data, args.mesh_model)
+    logger = make_logger(log_file=f"{args.work_dir}/{recipe.name}.log")
+    jsonl = JsonlLogger(f"{args.work_dir}/{recipe.name}.jsonl")
+    logger.info("recipe %s on mesh %s", recipe.name, task.mesh)
+
+    pretrained = None
+    if args.pretrained:
+        if args.pretrained.endswith(".npz"):
+            from mtp_tpu.ckpt.store import load_encoder
+            pretrained = load_encoder(args.pretrained)
+        else:
+            from mtp_tpu.ckpt.torch_convert import convert_backbone_checkpoint
+            pretrained = convert_backbone_checkpoint(args.pretrained,
+                                                     cfg.backbone)
+            if cfg.backbone.scan:
+                from mtp_tpu.ckpt.torch_convert import to_scan_layout
+                pretrained = to_scan_layout(pretrained, cfg.backbone.depth,
+                                            cfg.backbone.interval)
+        logger.info("loaded pretrained encoder from %s", args.pretrained)
+
+    state = task.init_state(jax.random.PRNGKey(cfg.train.seed),
+                            pretrained_backbone=pretrained)
+
+    steps = cfg.train.schedule.total_steps
+    if not args.synthetic:
+        raise SystemExit(
+            "dataset paths are site-specific; pass --synthetic for smoke "
+            "runs or drive the task API with a real Loader (see "
+            "mtp_tpu/data/datasets.py)")
+    data = synthetic_data(cfg, args.batch_size or cfg.train.batch_size)
+
+    def log_fn(i, m):
+        logger.info("iter %d %s", i, {k: round(v, 4) for k, v in m.items()})
+        jsonl.log(i, m)
+
+    state, metrics = task.fit(state, data, steps,
+                              log_every=args.log_every, log_fn=log_fn)
+    logger.info("final %s", metrics)
+    print(json.dumps({"recipe": recipe.name, "final": metrics}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
