@@ -62,11 +62,18 @@ def rle_encode_counts(counts: Sequence[int]) -> str:
 
 
 def rle_to_mask(rle: Dict) -> np.ndarray:
-    """{'size': [h, w], 'counts': str|list} → (h, w) uint8 mask."""
+    """{'size': [h, w], 'counts': str|list} → (h, w) uint8 mask.
+
+    Uses the C++ host kernel (native/mtp_native.cc) when built, with a numpy
+    fallback."""
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, str):
         counts = rle_decode_counts(counts)
+    from mtp_tpu.utils.native import rle_decode_native
+    native = rle_decode_native(np.asarray(counts, np.int64), h, w)
+    if native is not None:
+        return native
     flat = np.zeros(h * w, np.uint8)
     pos = 0
     val = 0
@@ -79,15 +86,17 @@ def rle_to_mask(rle: Dict) -> np.ndarray:
 
 
 def mask_to_rle(mask: np.ndarray) -> Dict:
-    """(h, w) binary mask → compressed RLE dict."""
+    """(h, w) binary mask → compressed RLE dict (C++ kernel when built)."""
     h, w = mask.shape
-    flat = np.asfortranarray(mask.astype(np.uint8)).T.reshape(-1)
-    # run lengths starting with a 0-run
-    changes = np.nonzero(np.diff(flat))[0] + 1
-    idx = np.concatenate([[0], changes, [len(flat)]])
-    counts = np.diff(idx).tolist()
-    if flat[0] == 1:
-        counts = [0] + counts
+    from mtp_tpu.utils.native import rle_encode_native
+    counts = rle_encode_native(mask.astype(np.uint8))
+    if counts is None:
+        flat = np.asfortranarray(mask.astype(np.uint8)).T.reshape(-1)
+        changes = np.nonzero(np.diff(flat))[0] + 1
+        idx = np.concatenate([[0], changes, [len(flat)]])
+        counts = np.diff(idx).tolist()
+        if flat[0] == 1:
+            counts = [0] + counts
     return {"size": [h, w], "counts": rle_encode_counts(counts)}
 
 

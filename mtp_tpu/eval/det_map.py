@@ -37,9 +37,15 @@ def np_bbox_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def np_rbox_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Rotated IoU on host via the jnp polygon-clipping kernel (CPU)."""
+    """Rotated IoU on host: C++ clipping kernel (native/mtp_native.cc) when
+    built, else the jnp polygon-clipping kernel on CPU."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), np.float32)
+    from mtp_tpu.utils.native import rbox_iou_native
+    native = rbox_iou_native(np.asarray(a, np.float32),
+                             np.asarray(b, np.float32))
+    if native is not None:
+        return native
     import jax.numpy as jnp
     from mtp_tpu.ops.rotated_boxes import rbox_overlaps
     return np.asarray(rbox_overlaps(jnp.asarray(a, jnp.float32),

@@ -1,0 +1,88 @@
+"""ctypes loader for the native host library (native/mtp_native.cc).
+
+Builds libmtp_native.so with g++ on first use (cached); every consumer has a
+pure-python fallback, so the library is an accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "native", "mtp_native.cc")
+_LIB = os.path.join(_ROOT, "native", "libmtp_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                       check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB) and os.path.exists(_SRC):
+        if not _build():
+            return None
+    if not os.path.exists(_LIB):
+        return None
+    lib = ctypes.CDLL(_LIB)
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.rle_decode.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
+                               ctypes.c_int64, u8p]
+    lib.rle_encode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, i64p,
+                               ctypes.c_int64]
+    lib.rle_encode.restype = ctypes.c_int64
+    lib.rbox_iou.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64, f32p]
+    _lib = lib
+    return _lib
+
+
+def rle_decode_native(counts: np.ndarray, h: int, w: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros((h, w), np.uint8)
+    lib.rle_decode(np.ascontiguousarray(counts, np.int64), len(counts), h, w, out)
+    return out
+
+
+def rle_encode_native(mask: np.ndarray) -> Optional[list]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = mask.shape
+    out = np.zeros(h * w + 2, np.int64)
+    n = lib.rle_encode(np.ascontiguousarray(mask, np.uint8), h, w, out,
+                       len(out))
+    if n < 0:
+        return None
+    return out[:n].tolist()
+
+
+def rbox_iou_native(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    out = np.zeros((len(a), len(b)), np.float32)
+    if len(a) and len(b):
+        lib.rbox_iou(a, len(a), b, len(b), out)
+    return out
