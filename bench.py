@@ -21,6 +21,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -63,21 +64,20 @@ def main():
 
     origins = slide_origins(TILE, TILE, CROP, STRIDE)
 
-    @jax.jit
-    def crop_logits(variables, tile):
+    # one fused program per crop: extract → backbone+head → accumulate, with
+    # the origin as a traced scalar so all crops share one executable; preds
+    # is donated so accumulation is in-place in HBM.  `variables` must be an
+    # ARGUMENT (closing over it would embed 300M params as HLO constants and
+    # blow up compile time).
+    @partial(jax.jit, donate_argnums=(1,))
+    def crop_step(variables, preds, images, y, x):
+        tile = jax.lax.dynamic_slice(images, (0, y, x, 0),
+                                     (BATCH, CROP, CROP, 3))
         out = model.apply(variables, tile, train=False, deterministic=True)
-        return resize_bilinear(out, (CROP, CROP)).astype(jnp.float32)
-
-    @jax.jit
-    def accumulate(preds, logits, y, x):
+        logits = resize_bilinear(out, (CROP, CROP)).astype(jnp.float32)
         patch = jax.lax.dynamic_slice(
             preds, (0, y, x, 0), (BATCH, CROP, CROP, num_classes))
         return jax.lax.dynamic_update_slice(preds, patch + logits, (0, y, x, 0))
-
-    @jax.jit
-    def extract(images, y, x):
-        return jax.lax.dynamic_slice(images, (0, y, x, 0),
-                                     (BATCH, CROP, CROP, 3))
 
     @jax.jit
     def checksum(preds):
@@ -86,8 +86,7 @@ def main():
     def predict(images):
         preds = jnp.zeros((BATCH, TILE, TILE, num_classes), jnp.float32)
         for (y, x) in origins:
-            tile = extract(images, y, x)
-            preds = accumulate(preds, crop_logits(variables, tile), y, x)
+            preds = crop_step(variables, preds, images, y, x)
         return preds
 
     images = jnp.asarray(

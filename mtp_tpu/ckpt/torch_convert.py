@@ -162,9 +162,13 @@ def convert_backbone(state_dict: Dict[str, "np.ndarray"],
                 put(fa + name + "/kernel", w[:, :, 0, 0].T)
                 put(fa + name + "/bias", sd[a + name + ".2.bias"])
 
-    # simple FPN
+    # simple FPN.  torch ConvTranspose2d (in, out, kh, kw) → flax ConvTranspose
+    # kernel (kh, kw, in, out) with the spatial dims FLIPPED: torch's
+    # transposed conv correlates with the flipped kernel relative to
+    # lax.conv_transpose (verified in tests/test_torch_convert.py).
     def deconv(src, dst):
-        put(dst + "/kernel", sd[src + ".weight"].transpose(2, 3, 0, 1))
+        w = sd[src + ".weight"][:, :, ::-1, ::-1]
+        put(dst + "/kernel", np.ascontiguousarray(w.transpose(2, 3, 0, 1)))
         put(dst + "/bias", sd[src + ".bias"])
 
     deconv("fpn1.0", "fpn/fpn1_deconv1")

@@ -156,10 +156,9 @@ def make_optimizer(cfg: OptimizerConfig, schedule: optax.Schedule, params: Any,
         _scale_by_pytree(scales),
         optax.scale_by_learning_rate(schedule),  # also flips sign
     ]
-    tx = optax.chain(*chain)
     if frozen_mask is not None:
-        tx = optax.multi_transform(
-            {"train": tx, "frozen": optax.set_to_zero()},
-            jax.tree_util.tree_map(lambda f: "frozen" if f else "train", frozen_mask),
-        )
-    return tx
+        # zero out updates for frozen leaves (multi_transform's MaskedNode
+        # placeholders don't compose with the pytree-scale transform)
+        chain.append(_scale_by_pytree(jax.tree_util.tree_map(
+            lambda f: 0.0 if f else 1.0, frozen_mask)))
+    return optax.chain(*chain)

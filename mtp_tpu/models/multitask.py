@@ -242,6 +242,27 @@ class MultiTaskPretrainModel(nn.Module):
 
         return total, losses
 
+    # -- validation ----------------------------------------------------------
+    def predict(self, images: Array, d: int, anchors: np.ndarray):
+        """Eval branch for dataset d (reference models.py:470-725): ss class
+        map + horizontal + rotated padded detections."""
+        from mtp_tpu.heads.upernet import resize_bilinear
+        from mtp_tpu.tasks.detection import det_predict_core
+
+        B, H, W, _ = images.shape
+        enc = self.encode(images, deterministic=True)
+        ss = self.ss_logits(enc, d, train=False, deterministic=True)
+        ss_pred = resize_bilinear(ss, (H, W)).argmax(-1)
+
+        feats_h, rpn_h = self.is_forward(enc)
+        det_h = det_predict_core(self.det_h_cfgs[d], anchors, (H, W), B,
+                                 rpn_h, self.is_box_fn(feats_h, d),
+                                 self.is_mask_fn(feats_h, d))
+        feats_r, rpn_r = self.rd_forward(enc)
+        det_r = det_predict_core(self.det_r_cfgs[d], anchors, (H, W), B,
+                                 rpn_r, self.rd_box_fn(feats_r, d))
+        return ss_pred, det_h, det_r
+
     # -- init path -----------------------------------------------------------
     def __call__(self, images: Array):
         """Runs all submodules once for parameter creation."""

@@ -86,6 +86,7 @@ class FullAttention(nn.Module):
     grid_size: Tuple[int, int]  # rel-pos table extent (Hp, Wp of the model grid)
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -104,14 +105,23 @@ class FullAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nH, N, hd)
 
         q = q * scale
-        attn = jnp.einsum("bhqc,bhkc->bhqk", q, k,
-                          preferred_element_type=jnp.float32)
-        # reference passes the scaled q into the rel-pos contraction
-        attn = add_decomposed_rel_pos(attn, q.astype(jnp.float32), (H, W),
-                                      (H, W), rel_pos_h, rel_pos_w)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.pallas:
+            from mtp_tpu.ops.pallas_attn import fused_window_attention
+            from mtp_tpu.ops.rel_pos import decomposed_rel_pos_bias
+            bias = decomposed_rel_pos_bias(q, (H, W), (H, W),
+                                           rel_pos_h, rel_pos_w)
+            out = fused_window_attention(q, k, v, bias, 1.0)
+            out = out.astype(self.dtype)
+        else:
+            attn = jnp.einsum("bhqc,bhkc->bhqk", q, k,
+                              preferred_element_type=jnp.float32)
+            # reference passes the scaled q into the rel-pos contraction
+            attn = add_decomposed_rel_pos(attn, q.astype(jnp.float32), (H, W),
+                                          (H, W), rel_pos_h, rel_pos_w)
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkc->bhqc", attn, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, nH * hd)
         out = nn.Dense(self.dim, dtype=self.dtype,
                        kernel_init=trunc_normal_init(), name="proj")(out)
@@ -134,6 +144,7 @@ class RVSAAttention(nn.Module):
     attn_ws: int = 7
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -219,15 +230,28 @@ class RVSAAttention(nn.Module):
         kw = to_windows(k_sel, aws)
         vw = to_windows(v_sel, aws)
 
-        dots = jnp.einsum("wnqc,wnkc->wnqk", qw, kw,
-                          preferred_element_type=jnp.float32) * scale
-        # reference passes the *unscaled* q into the rel-pos contraction here
-        dots = add_decomposed_rel_pos(dots, qw.astype(jnp.float32), (ws, ws),
-                                      (aws, aws), rel_pos_h, rel_pos_w)
-        dots = dots + swin_rel_pos_bias(bias_table, swin_rel_pos_index(ws, aws))
-        attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("wnqk,wnkc->wnqc", attn, vw,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.pallas:
+            from mtp_tpu.ops.pallas_attn import fused_window_attention
+            from mtp_tpu.ops.rel_pos import decomposed_rel_pos_bias
+            bias = decomposed_rel_pos_bias(qw, (ws, ws), (aws, aws),
+                                           rel_pos_h, rel_pos_w)
+            bias = bias + swin_rel_pos_bias(
+                bias_table, swin_rel_pos_index(ws, aws)).astype(jnp.float32)
+            out = fused_window_attention(qw, kw, vw, bias, scale)
+            out = out.astype(self.dtype)
+        else:
+            dots = jnp.einsum("wnqc,wnkc->wnqk", qw, kw,
+                              preferred_element_type=jnp.float32) * scale
+            # reference passes the *unscaled* q into the rel-pos contraction
+            dots = add_decomposed_rel_pos(dots, qw.astype(jnp.float32),
+                                          (ws, ws), (aws, aws),
+                                          rel_pos_h, rel_pos_w)
+            dots = dots + swin_rel_pos_bias(bias_table,
+                                            swin_rel_pos_index(ws, aws))
+            attn = jax.nn.softmax(dots.astype(jnp.float32),
+                                  axis=-1).astype(self.dtype)
+            out = jnp.einsum("wnqk,wnkc->wnqc", attn, vw,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
 
         out = out.reshape(B, nh, nw, nH, ws, ws, hd)
         out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(B, Hp, Wp, nH * hd)
@@ -248,17 +272,20 @@ class Block(nn.Module):
     drop_path_rate: float = 0.0
     init_values: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
                  dp_rate=None) -> Array:
         if self.full_attn:
             attn = FullAttention(self.dim, self.num_heads, self.grid_size,
-                                 self.qkv_bias, dtype=self.dtype, name="attn")
+                                 self.qkv_bias, dtype=self.dtype,
+                                 pallas=self.pallas, name="attn")
         else:
             attn = RVSAAttention(self.dim, self.num_heads, self.window_size,
                                  self.window_size, self.qkv_bias,
-                                 dtype=self.dtype, name="attn")
+                                 dtype=self.dtype, pallas=self.pallas,
+                                 name="attn")
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
 
         def branch(h):
@@ -307,6 +334,7 @@ class BlockGroup(nn.Module):
     dtype: jnp.dtype
     deterministic: bool = True  # static (scan would trace call-time args)
     use_dp: bool = True         # static: whether drop-path rng is needed
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, dpr: Array):
@@ -318,7 +346,7 @@ class BlockGroup(nn.Module):
             full = (p == interval - 1)
             x = Block(self.dim, self.num_heads, self.mlp_ratio, full,
                       self.grid_size, self.window_size, self.qkv_bias, 1.0,
-                      self.init_values, dtype=self.dtype,
+                      self.init_values, dtype=self.dtype, pallas=self.pallas,
                       name=("full" if full else f"rvsa_{p}"))(
                 x, self.deterministic,
                 dp_rate=dpr[p] if self.use_dp else None)
@@ -396,7 +424,8 @@ class ViTRVSA(nn.Module):
             group = scan(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                          (Hp, Wp), cfg.window_size, cfg.qkv_bias,
                          cfg.init_values, dtype, deterministic,
-                         cfg.drop_path_rate > 0.0, name="block_groups")
+                         cfg.drop_path_rate > 0.0, cfg.pallas_attn,
+                         name="block_groups")
             dpr_g = jnp.asarray(dpr.reshape(G, cfg.interval), jnp.float32)
             x, ys = group(x, dpr_g)
             # ys: (G, interval, B, H, W, C) → per-block outputs
@@ -411,7 +440,8 @@ class ViTRVSA(nn.Module):
                     full_attn=((i + 1) % cfg.interval == 0),
                     grid_size=(Hp, Wp), window_size=cfg.window_size,
                     qkv_bias=cfg.qkv_bias, drop_path_rate=float(dpr[i]),
-                    init_values=cfg.init_values, dtype=dtype, name=f"blocks_{i}")
+                    init_values=cfg.init_values, dtype=dtype,
+                    pallas=cfg.pallas_attn, name=f"blocks_{i}")
                 if cfg.remat:
                     x = nn.remat(Block.__call__, static_argnums=(2,))(block, x, deterministic)
                 else:

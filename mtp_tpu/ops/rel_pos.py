@@ -32,6 +32,23 @@ def rel_pos_indices(q_size: int, k_size: int) -> np.ndarray:
     return dist.astype(np.int64)
 
 
+def decomposed_rel_pos_bias(q: jax.Array, q_shape: tuple[int, int],
+                            k_shape: tuple[int, int], rel_pos_h: jax.Array,
+                            rel_pos_w: jax.Array) -> jax.Array:
+    """The decomposed bias alone: (..., q_h*q_w, k_h*k_w) fp32 (for fused
+    attention kernels that take a precomputed bias)."""
+    q_h, q_w = q_shape
+    k_h, k_w = k_shape
+    Rh = rel_pos_h[rel_pos_indices(q_h, k_h)].astype(jnp.float32)
+    Rw = rel_pos_w[rel_pos_indices(q_w, k_w)].astype(jnp.float32)
+    lead = q.shape[:-2]
+    r_q = q.astype(jnp.float32).reshape(lead + (q_h, q_w, q.shape[-1]))
+    rel_h = jnp.einsum("...hwc,hkc->...hwk", r_q, Rh)
+    rel_w = jnp.einsum("...hwc,wkc->...hwk", r_q, Rw)
+    bias = rel_h[..., :, :, :, None] + rel_w[..., :, :, None, :]
+    return bias.reshape(lead + (q_h * q_w, k_h * k_w))
+
+
 def add_decomposed_rel_pos(attn: jax.Array, q: jax.Array,
                            q_shape: tuple[int, int], k_shape: tuple[int, int],
                            rel_pos_h: jax.Array, rel_pos_w: jax.Array) -> jax.Array:

@@ -211,11 +211,25 @@ def detection_predict(model: TwoStageDetector, variables,
                       img: Array, anchors: np.ndarray,
                       nms_pre: Optional[int] = None) -> Detections:
     det = model.det
-    B, H, W, _ = img.shape
-    A = jnp.asarray(anchors)
-
     feats = model.apply(variables, img, method=TwoStageDetector.features)
     rpn_out = model.apply(variables, feats, method=TwoStageDetector.rpn)
+    box_fn = lambda rois, bidx: model.apply(
+        variables, feats, rois, bidx, method=TwoStageDetector.box_head)
+    mask_fn = (lambda rois, bidx: model.apply(
+        variables, feats, rois, bidx,
+        method=TwoStageDetector.mask_head_logits)) if det.with_mask else None
+    return det_predict_core(det, anchors, img.shape[1:3],
+                            img.shape[0], rpn_out, box_fn, mask_fn, nms_pre)
+
+
+def det_predict_core(det: DetConfig, anchors: np.ndarray,
+                     img_hw: Tuple[int, int], B: int, rpn_out: RPNOut,
+                     box_fn, mask_fn=None,
+                     nms_pre: Optional[int] = None) -> Detections:
+    """Prediction from precomputed RPN outputs and head callables (shared by
+    single-task detectors and the multi-task validator)."""
+    H, W = img_hw
+    A = jnp.asarray(anchors)
     props, prop_scores = gen_proposals(rpn_out, A, (H, W),
                                        nms_pre or det.nms_pre,
                                        det.max_proposals, det.rpn_nms_iou,
@@ -224,8 +238,7 @@ def detection_predict(model: TwoStageDetector, variables,
     P = props.shape[1]
     flat_rois = props.reshape(B * P, props.shape[-1])
     batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
-    cls_logits, reg_pred = model.apply(variables, feats, flat_rois, batch_idx,
-                                       method=TwoStageDetector.box_head)
+    cls_logits, reg_pred = box_fn(flat_rois, batch_idx)
     C = det.num_classes
     probs = jax.nn.softmax(cls_logits, axis=-1)[:, :C].reshape(B, P, C)
     D = 5 if det.rotated else 4
@@ -267,12 +280,11 @@ def detection_predict(model: TwoStageDetector, variables,
         props, prop_scores > NEG_INF / 2, reg, probs)
 
     mask_logits = None
-    if det.with_mask:
+    if det.with_mask and mask_fn is not None:
         N = det.max_per_img
         flat_b = boxes.reshape(B * N, D)
         bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
-        ml = model.apply(variables, feats, flat_b, bidx,
-                         method=TwoStageDetector.mask_head_logits)
+        ml = mask_fn(flat_b, bidx)
         m = ml.shape[1]
         sel = jnp.clip(labels.reshape(B * N), 0, C - 1)
         ml = ml[jnp.arange(B * N), :, :, sel]

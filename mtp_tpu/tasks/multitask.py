@@ -109,3 +109,69 @@ class MultiTaskPretrainTask:
                 save_encoder(encoder_path,
                              jax.tree.map(np.asarray, state.params["encoder"]))
         return state, {k: float(v) for k, v in metrics.items()}
+
+    # -- validation (reference validation(), main_pretrain.py:558-671) -------
+    def evaluate(self, state: TrainState, data: Iterator[Dict],
+                 max_batches: int = 0) -> Dict[str, float]:
+        """9-way eval: per-dataset mIoU + horizontal mAP50 + rotated mAP50,
+        plus the averaged 'MTP accuracy' the reference logs."""
+        from mtp_tpu.eval.det_map import eval_map
+        from mtp_tpu.eval.metrics import SegAccumulator
+
+        model = self.model
+        anchors = self.anchors
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(2,))
+        def predict(variables, images, d: int):
+            return model.apply(variables, images, d, anchors,
+                               method=MultiTaskPretrainModel.predict)
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        seg_acc = [SegAccumulator(c) for c in self.model.classes]
+        det_h_imgs = [[] for _ in range(3)]
+        det_r_imgs = [[] for _ in range(3)]
+
+        def unpad(det, i):
+            v = np.asarray(det.valid[i])
+            return {"det_boxes": np.asarray(det.boxes[i])[v],
+                    "det_scores": np.asarray(det.scores[i])[v],
+                    "det_labels": np.asarray(det.labels[i])[v]}
+
+        for bi, batch in enumerate(data):
+            if max_batches and bi >= max_batches:
+                break
+            for d in range(3):
+                bd = batch[f"d{d}"]
+                images = jnp.asarray(bd["image"])
+                ss_pred, det_h, det_r = predict(variables, images, d)
+                seg_acc[d].add(np.asarray(ss_pred), bd["ss_label"])
+                for i in range(images.shape[0]):
+                    gv = np.asarray(bd["gt_valid"][i])
+                    det_h_imgs[d].append(dict(
+                        unpad(det_h, i),
+                        gt_boxes=np.asarray(bd["gt_boxes"][i])[gv],
+                        gt_labels=np.asarray(bd["gt_labels"][i])[gv]))
+                    rv = np.asarray(bd["r_gt_valid"][i])
+                    det_r_imgs[d].append(dict(
+                        unpad(det_r, i),
+                        gt_boxes=np.asarray(bd["r_gt_boxes"][i])[rv],
+                        gt_labels=np.asarray(bd["r_gt_labels"][i])[rv]))
+
+        out: Dict[str, float] = {}
+        accs = []
+        for d in range(3):
+            miou = seg_acc[d].evaluate()["mIoU"]
+            mh = eval_map(det_h_imgs[d], self.model.classes[d] - 1)["mAP"]
+            mr = eval_map(det_r_imgs[d], self.model.classes[d] - 1,
+                          rotated=True)["mAP"]
+            out[f"ss_d{d}_mIoU"] = miou
+            out[f"is_d{d}_mAP50"] = mh
+            out[f"rd_d{d}_mAP50"] = mr
+            accs += [miou, mh, mr]
+        out["mtp_accuracy"] = float(np.mean(accs))
+        return out

@@ -59,6 +59,8 @@ class BackboneConfig:
     # param tree becomes block_groups/{rvsa_p,full}/... with a stacked
     # leading group axis (the checkpoint converter handles both layouts)
     scan: bool = False
+    # fused Pallas attention kernel for the window/full attention hot loop
+    pallas_attn: bool = False
     # compute dtype ("bfloat16" or "float32"); params always float32
     dtype: str = "bfloat16"
 

@@ -104,3 +104,10 @@ def test_multitask_pretrain_e2e(tmp_path):
     got = np.asarray(cstate.params["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"])
     want = np.asarray(state.params["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"])
     np.testing.assert_allclose(got, want, atol=0)
+
+    # 9-way validation branch (reference validation())
+    res = task.evaluate(state, iter([synth_batch(seed=99)]))
+    for d in range(3):
+        for k in (f"ss_d{d}_mIoU", f"is_d{d}_mAP50", f"rd_d{d}_mAP50"):
+            assert k in res and np.isfinite(res[k]), (k, res)
+    assert "mtp_accuracy" in res

@@ -122,7 +122,9 @@ def test_converted_tree_loads_and_layouts_match():
 
 
 def test_deconv_layout_matches_torch():
-    """flax ConvTranspose with converted kernel == torch ConvTranspose2d."""
+    """flax ConvTranspose with converted kernel == torch ConvTranspose2d.
+    The conversion flips the spatial dims (torch transposed conv correlates
+    with the flipped kernel relative to lax.conv_transpose)."""
     from flax import linen as nn
     rng = np.random.default_rng(2)
     w = rng.standard_normal((6, 4, 2, 2)).astype(np.float32)  # (in, out, kh, kw)
@@ -133,8 +135,9 @@ def test_deconv_layout_matches_torch():
         torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
         torch.from_numpy(b), stride=2).numpy()
 
+    kern = np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
     deconv = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
-    out = deconv.apply({"params": {"kernel": w.transpose(2, 3, 0, 1),
-                                   "bias": b}}, jnp.asarray(x))
+    out = deconv.apply({"params": {"kernel": kern, "bias": b}},
+                       jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                atol=1e-4)
