@@ -51,7 +51,8 @@ def main():
 
     log(f"bench: devices={jax.devices()} batch={BATCH} tile={TILE} "
         f"crop={CROP} stride={STRIDE}")
-    cfg = vit_l_rvsa(img_size=TILE, dtype="bfloat16", scan=True)
+    cfg = vit_l_rvsa(img_size=TILE, dtype="bfloat16", scan=True,
+                     pallas_attn=os.environ.get("BENCH_PALLAS", "1") == "1")
     num_classes = 2  # SpaceNet building segmentation
     model = Segmentor(cfg, num_classes)
 

@@ -38,6 +38,13 @@ def build_task(recipe, mesh_data: int, mesh_model: int):
     if cfg.task == "multitask":
         from mtp_tpu.tasks.multitask import MultiTaskPretrainTask
         return MultiTaskPretrainTask(cfg), cfg
+    if cfg.task in ("detection_h", "detection_r", "instseg"):
+        from mtp_tpu.tasks.detection_task import DetectionTask
+        head = {"detection_h": "faster_rcnn", "instseg": "mask_rcnn",
+                "detection_r": "oriented_rcnn"}[cfg.task]
+        if "retinanet" in recipe.name:
+            head = "retinanet"
+        return DetectionTask(cfg, head=head), cfg
     raise SystemExit(f"task {cfg.task} has no generic CLI driver yet; "
                      f"use the task API directly")
 
