@@ -159,6 +159,53 @@ def tile_images(args):
     print(f"wrote {n} patches to {args.out_dir}")
 
 
+def geojson_to_coco(args):
+    """xView-style geojson feature collection → COCO json (the label-
+    conversion half of the reference prepare_xview_dataset.py; expects
+    pixel-space bounds in each feature's properties)."""
+    with open(args.geojson) as f:
+        gj = json.load(f)
+    # type_id → contiguous label
+    type_ids = sorted({int(feat["properties"][args.class_key])
+                       for feat in gj["features"]
+                       if args.class_key in feat.get("properties", {})})
+    cat_map = {t: i for i, t in enumerate(type_ids)}
+    by_image = {}
+    for feat in gj["features"]:
+        props = feat.get("properties", {})
+        if args.class_key not in props or args.image_key not in props:
+            continue
+        img = props[args.image_key]
+        # bounds "x1,y1,x2,y2"
+        b = [float(v) for v in str(props[args.bounds_key]).split(",")]
+        by_image.setdefault(img, []).append((cat_map[int(props[args.class_key])], b))
+    images, annotations = [], []
+    ann_id = 0
+    from PIL import Image
+    for img_id, (name, anns) in enumerate(sorted(by_image.items())):
+        path = os.path.join(args.image_dir, name)
+        if os.path.exists(path):
+            with Image.open(path) as im:
+                w, h = im.size
+        else:
+            w = h = 0
+        images.append({"id": img_id, "file_name": name,
+                       "height": h, "width": w})
+        for cat, (x1, y1, x2, y2) in anns:
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "iscrowd": 0,
+                "category_id": cat, "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "area": max(x2 - x1, 0) * max(y2 - y1, 0)})
+            ann_id += 1
+    out = {"images": images, "annotations": annotations,
+           "categories": [{"id": i, "name": str(t)}
+                          for t, i in sorted(cat_map.items(), key=lambda kv: kv[1])]}
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"wrote {args.out}: {len(images)} images, {ann_id} boxes, "
+          f"{len(cat_map)} classes")
+
+
 def loveda_shift(args):
     from PIL import Image
     os.makedirs(args.out_dir, exist_ok=True)
@@ -267,6 +314,15 @@ def main(argv=None):
     s.add_argument("--patch", type=int, default=1024)
     s.add_argument("--overlap", type=int, default=200)
     s.set_defaults(fn=tile_images)
+
+    s = sub.add_parser("geojson-to-coco")
+    s.add_argument("--geojson", required=True)
+    s.add_argument("--image-dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--class-key", default="type_id")
+    s.add_argument("--image-key", default="image_id")
+    s.add_argument("--bounds-key", default="bounds_imcoords")
+    s.set_defaults(fn=geojson_to_coco)
 
     s = sub.add_parser("loveda-shift")
     s.add_argument("--pred-dir", required=True)
