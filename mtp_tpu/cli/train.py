@@ -85,6 +85,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None,
                    help="override total steps")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--img-size", type=int, default=None,
+                   help="override backbone image size (smoke runs)")
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--pretrained", default=None,
@@ -113,6 +115,9 @@ def main(argv=None):
     if args.batch_size:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size))
+    if args.img_size:
+        cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+            cfg.backbone, img_size=args.img_size))
     recipe = dataclasses.replace(recipe, task=cfg)
 
     task, cfg = build_task(recipe, args.mesh_data, args.mesh_model)

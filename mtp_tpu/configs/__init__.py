@@ -214,6 +214,34 @@ def _():
                   dataset="dota10", notes="mAP target 81.66 (multi-scale)")
 
 
+# --- InternImage-XL variants (reference pairs it with every task) ----------
+
+def _internimage_xl(img_size: int, **kw):
+    from mtp_tpu.models.backbones import internimage_backbone_config
+    return internimage_backbone_config("internimage_xl", img_size, **kw)
+
+
+@register("internimage-xl-224-imp-mtp_eurosat")
+def _():
+    return Recipe("internimage-xl-224-imp-mtp_eurosat",
+                  _cls(_internimage_xl(224), 10, 10000),
+                  dataset="eurosat", notes="OA target 99.24")
+
+
+@register("internimage-xl-upernet-512-imp-mtp-loveda")
+def _():
+    return Recipe("internimage-xl-upernet-512-imp-mtp-loveda",
+                  _seg(_internimage_xl(512), 7, crop=512),
+                  dataset="loveda", notes="mIoU target 54.17")
+
+
+@register("internimage-xl-unet-256-imp-mtp_levir")
+def _():
+    return Recipe("internimage-xl-unet-256-imp-mtp_levir",
+                  _cd(_internimage_xl(256)),
+                  dataset="levir", notes="F1 target 92.54")
+
+
 # --- multi-task pretraining (reference Multi-Task_Pretrain) -----------------
 
 @register("mtp_vit_b_rvsa_448_samrs")

@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from mtp_tpu.heads.unet import UNetHead
 from mtp_tpu.heads.upernet import resize_bilinear
-from mtp_tpu.models.vit_rvsa import ViTRVSA
+from mtp_tpu.models.backbones import build_backbone
 from mtp_tpu.utils.config import BackboneConfig
 
 Array = jax.Array
@@ -37,8 +37,13 @@ class SiamChangeDetector(nn.Module):
         (the UNet over-upsamples; callers resize to label size)."""
         B = img_a.shape[0]
         both = jnp.concatenate([img_a, img_b], axis=0)
-        feats = ViTRVSA(self.cfg, name="backbone")(both, deterministic,
-                                                   features_only=True)
+        backbone = build_backbone(self.cfg)
+        if self.cfg.name.startswith("internimage"):
+            feats = backbone(both, deterministic)  # native pyramid
+        else:
+            # ViT CD variant feeds raw 16-stride features (reference
+            # vit_rvsa_mtp.py:859-861 comments the FPN ops out)
+            feats = backbone(both, deterministic, features_only=True)
         fused = []
         for f in feats:
             fa, fb = f[:B], f[B:]

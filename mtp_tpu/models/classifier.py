@@ -12,7 +12,7 @@ import jax
 from flax import linen as nn
 
 from mtp_tpu.heads.linear_cls import LinearClsHead
-from mtp_tpu.models.vit_rvsa import ViTRVSA
+from mtp_tpu.models.backbones import build_backbone
 from mtp_tpu.utils.config import BackboneConfig
 
 
@@ -22,5 +22,5 @@ class ImageClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        feats = ViTRVSA(self.cfg, name="backbone")(x, deterministic)
+        feats = build_backbone(self.cfg)(x, deterministic)
         return LinearClsHead(self.num_classes, name="head")(feats[-1])

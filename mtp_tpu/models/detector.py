@@ -28,7 +28,7 @@ from mtp_tpu.heads.fpn import FPN
 from mtp_tpu.heads.roi_heads import (FCNMaskTrunk, Shared2FCTrunk,
                                      bbox_head_loss, mask_head_loss)
 from mtp_tpu.heads.rpn import RPNHead, RPNOut, gen_proposals, optax_sigmoid_ce
-from mtp_tpu.models.vit_rvsa import ViTRVSA
+from mtp_tpu.models.backbones import build_backbone
 from mtp_tpu.ops.anchors import AnchorGenerator
 from mtp_tpu.ops.assign import max_iou_assign, random_sample
 from mtp_tpu.ops.boxes import bbox_overlaps, delta_decode, delta_encode
@@ -108,7 +108,7 @@ class TwoStageDetector(nn.Module):
     def setup(self):
         d = self.det
         dtype = jnp.dtype(self.backbone_cfg.dtype)
-        self.backbone = ViTRVSA(self.backbone_cfg, name="backbone")
+        self.backbone = build_backbone(self.backbone_cfg)
         self.neck = FPN(self.fpn_channels, num_outs=5, dtype=dtype, name="neck")
         self.rpn_head = RPNHead(self.fpn_channels, 3,
                                 6 if d.rotated else 4, dtype=dtype,

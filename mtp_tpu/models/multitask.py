@@ -33,7 +33,7 @@ from mtp_tpu.heads.roi_heads import FCNMaskTrunk, Shared2FCTrunk
 from mtp_tpu.heads.rpn import RPNHead, RPNOut
 from mtp_tpu.heads.upernet import UperNetHead
 from mtp_tpu.models.detector import DetConfig, oriented_rcnn_cfg
-from mtp_tpu.models.vit_rvsa import ViTRVSA
+from mtp_tpu.models.backbones import build_backbone
 from mtp_tpu.ops.roi_align import map_roi_levels, roi_align, roi_align_rotated
 from mtp_tpu.ops.rotated_boxes import rbox_to_hbox
 from mtp_tpu.utils.config import BackboneConfig
@@ -68,7 +68,7 @@ class MultiTaskPretrainModel(nn.Module):
 
     def setup(self):
         dtype = jnp.dtype(self.cfg.dtype)
-        self.encoder = ViTRVSA(self.cfg, name="encoder")
+        self.encoder = build_backbone(self.cfg, name="encoder")
 
         # --- semantic segmentation ---
         self.ss_trunk = UperNetHead(0, channels=256, with_classifier=False,

@@ -22,7 +22,7 @@ import numpy as np
 from flax import linen as nn
 
 from mtp_tpu.heads.fpn import FPN, upsample_nearest
-from mtp_tpu.models.vit_rvsa import ViTRVSA
+from mtp_tpu.models.backbones import build_backbone
 from mtp_tpu.ops.anchors import AnchorGenerator
 from mtp_tpu.ops.assign import max_iou_assign
 from mtp_tpu.ops.boxes import delta_decode, delta_encode
@@ -71,7 +71,7 @@ class RetinaNet(nn.Module):
         dtype = jnp.dtype(self.backbone_cfg.dtype)
         d = self.det
         A = len(d.ratios) * d.scales_per_octave
-        self.backbone = ViTRVSA(self.backbone_cfg, name="backbone")
+        self.backbone = build_backbone(self.backbone_cfg)
         self.neck = FPN(d.feat_channels, num_outs=5, dtype=dtype, name="neck")
         self.cls_convs = [nn.Conv(d.feat_channels, (3, 3), padding=1,
                                   dtype=dtype, name=f"cls_conv_{i}")

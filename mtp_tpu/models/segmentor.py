@@ -12,7 +12,7 @@ import jax
 from flax import linen as nn
 
 from mtp_tpu.heads.upernet import UperNetHead, resize_bilinear
-from mtp_tpu.models.vit_rvsa import ViTRVSA
+from mtp_tpu.models.backbones import build_backbone
 from mtp_tpu.utils.config import BackboneConfig
 
 
@@ -25,7 +25,7 @@ class Segmentor(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False,
                  deterministic: bool = True) -> jax.Array:
         """(B, H, W, 3) → stride-4 logits (B, H/4, W/4, num_classes)."""
-        feats = ViTRVSA(self.cfg, name="backbone")(x, deterministic)
+        feats = build_backbone(self.cfg)(x, deterministic)
         return UperNetHead(self.num_classes, channels=self.channels,
                            name="decode_head")(feats, train, deterministic)
 

@@ -462,6 +462,8 @@ def rescale_block_init(params: dict, depth: int) -> dict:
     group axis) layouts."""
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
     p = params["params"] if "params" in params else params
+    if "blocks_0" not in p and "block_groups" not in p:
+        return params  # non-ViT backbone (e.g. InternImage): no rescale rule
     if "block_groups" in p:
         bg = p["block_groups"]
         names = sorted(k for k in bg if k.startswith("rvsa_")) + ["full"]

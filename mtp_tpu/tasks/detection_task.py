@@ -70,10 +70,8 @@ class DetectionTask:
 
         schedule = make_schedule(cfg.train.schedule, cfg.train.optimizer.lr)
 
-        def layer_id(path: str, num_layers: int) -> int:
-            if path.startswith("backbone/"):
-                return vit_layer_id(path[len("backbone/"):], num_layers)
-            return num_layers - 1
+        from mtp_tpu.models.backbones import layer_id_fn_for
+        layer_id = layer_id_fn_for(cfg.backbone, root="backbone/")
 
         self._tx = make_optimizer(
             cfg.train.optimizer, schedule, params, cfg.backbone.depth,

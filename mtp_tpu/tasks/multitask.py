@@ -53,10 +53,8 @@ class MultiTaskPretrainTask:
 
         schedule = make_schedule(cfg.train.schedule, cfg.train.optimizer.lr)
 
-        def layer_id(path: str, num_layers: int) -> int:
-            if path.startswith("encoder/"):
-                return vit_layer_id(path[len("encoder/"):], num_layers)
-            return num_layers - 1
+        from mtp_tpu.models.backbones import layer_id_fn_for
+        layer_id = layer_id_fn_for(cfg.backbone, root="encoder/")
 
         self._tx = make_optimizer(cfg.train.optimizer, schedule, params,
                                   cfg.backbone.depth, layer_id_fn=layer_id,
