@@ -1,0 +1,138 @@
+"""Composed transform pipelines for every recipe family.
+
+Capability parity with the reference pipeline configs:
+- MTP pretraining train/valid pipeline (Multi-Task_Pretrain/utils.py:15-71):
+  flip p=0.75 over h/v/diagonal → random-resize (0.5-2.0, keep ratio) →
+  random crop to size (resample on all-instances-lost, recompute boxes from
+  masks) → min-size instance filter → photometric distortion → normalize →
+  pad to size,
+- classification / segmentation / CD train pipelines from the finetune
+  configs (resize + flip + normalize [+ crop]).
+
+A pipeline is `fn(sample, rng) -> sample`, pluggable into the datasets of
+data/datasets.py and the Loader collators.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+
+from mtp_tpu.data import transforms as T
+from mtp_tpu.data.transforms import Sample
+
+
+def filter_small_instances(sample: Sample, min_wh: float = 1e-5,
+                           by_mask: bool = True) -> Sample:
+    """INS_FilterAnnotations (augmentations.py:1158)."""
+    if "hboxes" not in sample or len(sample["hboxes"]) == 0:
+        return sample
+    b = sample["hboxes"]
+    keep = (b[:, 2] - b[:, 0] > min_wh) & (b[:, 3] - b[:, 1] > min_wh)
+    if by_mask and sample.get("masks") is not None and len(sample["masks"]):
+        keep &= sample["masks"].reshape(len(sample["masks"]), -1).any(-1)
+    out = dict(sample)
+    out["hboxes"] = b[keep]
+    if "labels" in sample:
+        out["labels"] = sample["labels"][keep]
+    if sample.get("masks") is not None and len(sample["masks"]):
+        out["masks"] = sample["masks"][keep]
+    return out
+
+
+def mtp_train_pipeline(size: int = 448) -> Callable[[Sample, np.random.Generator], Sample]:
+    """The SAMRS pretraining train pipeline."""
+
+    def fn(sample: Sample, rng: np.random.Generator) -> Sample:
+        s = T.random_flip(sample, rng, prob=0.75,
+                          directions=("horizontal", "vertical", "diagonal"))
+        s = T.random_resize(s, (size, size), (0.5, 2.0), rng, keep_ratio=True)
+        s = T.random_crop(s, (size, size), rng)
+        s = filter_small_instances(s)
+        s = T.photometric_distortion(s, rng)
+        s = T.normalize(s)
+        s = T.pad_to(s, (size, size))
+        return s
+
+    return fn
+
+
+def mtp_valid_pipeline(size: int = 448):
+    def fn(sample: Sample, rng: np.random.Generator) -> Sample:
+        s = T.resize(sample, (size, size), keep_ratio=True)
+        s = T.normalize(s)
+        return T.pad_to(s, (size, size))
+
+    return fn
+
+
+def cls_train_pipeline(size: int = 224):
+    """RandomResizedCrop-lite + flip + normalize (mmpretrain recipe shape)."""
+
+    def fn(sample: Sample, rng: np.random.Generator) -> Sample:
+        s = T.random_resize(sample, (size, size), (1.0, 1.3), rng,
+                            keep_ratio=False)
+        s = T.random_crop(s, (size, size), rng)
+        s = T.random_flip(s, rng, prob=0.5)
+        s = T.normalize(s)
+        return T.pad_to(s, (size, size))
+
+    return fn
+
+
+def cls_test_pipeline(size: int = 224):
+    def fn(sample: Sample, rng=None) -> Sample:
+        s = T.resize(sample, (size, size), keep_ratio=False)
+        return T.normalize(s)
+
+    return fn
+
+
+def seg_train_pipeline(crop: int = 512, ratio_range=(0.5, 2.0)):
+    """mmseg recipe: RandomResize + RandomCrop + flip + PhotoMetric +
+    normalize + pad (seg ignore pad 255)."""
+
+    def fn(sample: Sample, rng: np.random.Generator) -> Sample:
+        s = T.random_resize(sample, (crop * 2, crop * 2), ratio_range, rng)
+        s = T.random_crop(s, (crop, crop), rng)
+        s = T.random_flip(s, rng, prob=0.5)
+        s = T.photometric_distortion(s, rng)
+        s = T.normalize(s)
+        return T.pad_to(s, (crop, crop))
+
+    return fn
+
+
+def seg_test_pipeline(size: int = None):
+    def fn(sample: Sample, rng=None) -> Sample:
+        s = T.resize(sample, (size, size)) if size else sample
+        s = T.normalize(s)
+        return T.pad_to_divisor(s, 32)
+
+    return fn
+
+
+def cd_train_pipeline(crop: int = 256):
+    """Dual-image pipeline: identical geometry on A/B, photometric jitter
+    applied independently (open-cd MultiImg* semantics)."""
+
+    def fn(sample, rng: np.random.Generator):
+        # treat as a joint sample with image=A and a mirror for B
+        sa = {"image": sample["image_a"], "sem_seg": sample["label"]}
+        sb = {"image": sample["image_b"], "sem_seg": sample["label"]}
+        seed = int(rng.integers(0, 2 ** 31))
+        r1 = np.random.default_rng(seed)
+        r2 = np.random.default_rng(seed)  # same geometric draws
+        sa = T.random_flip(sa, r1, prob=0.5, directions=("horizontal", "vertical"))
+        sb = T.random_flip(sb, r2, prob=0.5, directions=("horizontal", "vertical"))
+        sa = T.random_crop(sa, (crop, crop), np.random.default_rng(seed + 1))
+        sb = T.random_crop(sb, (crop, crop), np.random.default_rng(seed + 1))
+        pa = T.photometric_distortion(sa, rng)
+        pb = T.photometric_distortion(sb, rng)
+        pa = T.normalize(pa)
+        pb = T.normalize(pb)
+        return {"image_a": pa["image"], "image_b": pb["image"],
+                "label": pa["sem_seg"]}
+
+    return fn
