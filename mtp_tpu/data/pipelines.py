@@ -67,14 +67,18 @@ def mtp_valid_pipeline(size: int = 448):
     return fn
 
 
-def cls_train_pipeline(size: int = 224):
-    """RandomResizedCrop-lite + flip + normalize (mmpretrain recipe shape)."""
+def cls_train_pipeline(size: int = 224, randaugment: bool = True):
+    """RandomResizedCrop-lite + flip + RandAugment + RandomErasing +
+    normalize (the reference eurosat recipe shape)."""
 
     def fn(sample: Sample, rng: np.random.Generator) -> Sample:
         s = T.random_resize(sample, (size, size), (1.0, 1.3), rng,
                             keep_ratio=False)
         s = T.random_crop(s, (size, size), rng)
         s = T.random_flip(s, rng, prob=0.5)
+        if randaugment:
+            s = T.rand_augment(s, rng)
+            s = T.random_erasing(s, rng)
         s = T.normalize(s)
         return T.pad_to(s, (size, size))
 

@@ -282,6 +282,64 @@ def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# classification-only augments (reference eurosat config: RandAugment +
+# RandomErasing, Scene_Classification/configs/mtp/.../*_eurosat.py:116-142)
+# ---------------------------------------------------------------------------
+
+def random_erasing(sample: Sample, rng: np.random.Generator,
+                   prob: float = 0.25, area_range=(0.02, 0.33),
+                   aspect_range=(0.3, 3.3)) -> Sample:
+    if rng.uniform() >= prob:
+        return sample
+    img = sample["image"].copy()
+    H, W = img.shape[:2]
+    area = rng.uniform(*area_range) * H * W
+    aspect = rng.uniform(*aspect_range)
+    h = int(round(math.sqrt(area * aspect)))
+    w = int(round(math.sqrt(area / aspect)))
+    if h >= H or w >= W or h < 1 or w < 1:
+        return sample
+    y0 = int(rng.integers(0, H - h))
+    x0 = int(rng.integers(0, W - w))
+    img[y0:y0 + h, x0:x0 + w] = img.mean(axis=(0, 1))
+    return dict(sample, image=img)
+
+
+def rand_augment(sample: Sample, rng: np.random.Generator,
+                 num_ops: int = 2, magnitude: float = 0.3) -> Sample:
+    """A compact RandAugment over photometric+geometric ops (image-only —
+    classification use)."""
+    from PIL import Image, ImageEnhance
+
+    img = sample["image"]
+    pil = Image.fromarray(img.clip(0, 255).astype(np.uint8))
+    ops = ["brightness", "contrast", "color", "sharpness", "rotate",
+           "translate_x", "translate_y", "identity"]
+    for _ in range(num_ops):
+        op = ops[rng.integers(len(ops))]
+        m = magnitude * rng.uniform(0.5, 1.5)
+        if op == "brightness":
+            pil = ImageEnhance.Brightness(pil).enhance(1 + m * rng.choice([-1, 1]))
+        elif op == "contrast":
+            pil = ImageEnhance.Contrast(pil).enhance(1 + m * rng.choice([-1, 1]))
+        elif op == "color":
+            pil = ImageEnhance.Color(pil).enhance(1 + m * rng.choice([-1, 1]))
+        elif op == "sharpness":
+            pil = ImageEnhance.Sharpness(pil).enhance(1 + m * rng.choice([-1, 1]))
+        elif op == "rotate":
+            pil = pil.rotate(m * 30 * rng.choice([-1, 1]), fillcolor=(128, 128, 128))
+        elif op == "translate_x":
+            pil = pil.transform(pil.size, Image.AFFINE,
+                                (1, 0, m * pil.size[0] * rng.choice([-1, 1]), 0, 1, 0),
+                                fillcolor=(128, 128, 128))
+        elif op == "translate_y":
+            pil = pil.transform(pil.size, Image.AFFINE,
+                                (1, 0, 0, 0, 1, m * pil.size[1] * rng.choice([-1, 1])),
+                                fillcolor=(128, 128, 128))
+    return dict(sample, image=np.asarray(pil).astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
 # normalize & pad
 # ---------------------------------------------------------------------------
 

@@ -67,11 +67,13 @@ class SegAccumulator:
         precision = self.i / np.maximum(self.p, eps)
         recall = acc
         f1 = 2 * precision * recall / np.maximum(precision + recall, eps)
+        dice = 2 * self.i / np.maximum(self.p + self.l, eps)
         return {
             "mIoU": float(iou[seen].mean() * 100) if seen.any() else 0.0,
             "mAcc": float(acc[seen].mean() * 100) if seen.any() else 0.0,
             "aAcc": float(self.i.sum() / max(self.l.sum(), eps) * 100),
             "mFscore": float(f1[seen].mean() * 100) if seen.any() else 0.0,
+            "mDice": float(dice[seen].mean() * 100) if seen.any() else 0.0,
             "IoU": (iou * 100).tolist(),
             "Fscore": (f1 * 100).tolist(),
         }
