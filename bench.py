@@ -65,11 +65,23 @@ def main():
 
     origins = slide_origins(TILE, TILE, CROP, STRIDE)
 
-    # one fused program per crop: extract → backbone+head → accumulate, with
-    # the origin as a traced scalar so all crops share one executable; preds
-    # is donated so accumulation is in-place in HBM.  `variables` must be an
-    # ARGUMENT (closing over it would embed 300M params as HLO constants and
-    # blow up compile time).
+    # ONE program per tile batch: all crops extracted with static slices,
+    # stacked into a (n_crops*B) megabatch, one backbone+head application,
+    # scatter-add back.  One dispatch per predict, full MXU batch.
+    # `variables` must be an ARGUMENT (closing over it would embed 300M
+    # params as HLO constants and blow up compile time).
+    @jax.jit
+    def predict_fused(variables, images):
+        tiles = jnp.concatenate(
+            [images[:, y:y + CROP, x:x + CROP, :] for (y, x) in origins], 0)
+        out = model.apply(variables, tiles, train=False, deterministic=True)
+        logits = resize_bilinear(out, (CROP, CROP)).astype(jnp.float32)
+        preds = jnp.zeros((BATCH, TILE, TILE, num_classes), jnp.float32)
+        for i, (y, x) in enumerate(origins):
+            preds = preds.at[:, y:y + CROP, x:x + CROP].add(
+                logits[i * BATCH:(i + 1) * BATCH])
+        return preds
+
     @partial(jax.jit, donate_argnums=(1,))
     def crop_step(variables, preds, images, y, x):
         tile = jax.lax.dynamic_slice(images, (0, y, x, 0),
@@ -84,7 +96,13 @@ def main():
     def checksum(preds):
         return preds.sum()
 
+    # measured on this chip: per-crop dispatches beat the fused megabatch
+    # (8.28 vs 6.38 img/s) — larger batches run past the throughput knee
+    FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
+
     def predict(images):
+        if FUSED:
+            return predict_fused(variables, images)
         preds = jnp.zeros((BATCH, TILE, TILE, num_classes), jnp.float32)
         for (y, x) in origins:
             preds = crop_step(variables, preds, images, y, x)

@@ -13,7 +13,7 @@ def test_registry_builds():
     for n in names:
         r = configs.get(n)
         assert r.name == n
-        assert r.task.backbone.embed_dim in (768, 1024)
+        assert r.task.backbone.embed_dim in (192, 768, 1024)  # incl. InternImage-XL
         if "rvsa_l" in n or "rvsa-l" in n:
             assert r.task.backbone.depth == 24
 
