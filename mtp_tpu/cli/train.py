@@ -16,7 +16,8 @@ import sys
 import numpy as np
 
 
-def build_task(recipe, mesh_data: int, mesh_model: int):
+def build_task(recipe, mesh_data: int, mesh_model: int,
+               det_overrides: dict = None):
     import jax
     from mtp_tpu import configs
     from mtp_tpu.utils.config import MeshConfig
@@ -37,14 +38,14 @@ def build_task(recipe, mesh_data: int, mesh_model: int):
         return ChangeDetectionTask(cfg), cfg
     if cfg.task == "multitask":
         from mtp_tpu.tasks.multitask import MultiTaskPretrainTask
-        return MultiTaskPretrainTask(cfg), cfg
+        return MultiTaskPretrainTask(cfg, det_overrides=det_overrides), cfg
     if cfg.task in ("detection_h", "detection_r", "instseg"):
         from mtp_tpu.tasks.detection_task import DetectionTask
         head = {"detection_h": "faster_rcnn", "instseg": "mask_rcnn",
                 "detection_r": "oriented_rcnn"}[cfg.task]
         if "retinanet" in recipe.name:
             head = "retinanet"
-        return DetectionTask(cfg, head=head), cfg
+        return DetectionTask(cfg, head=head, det_overrides=det_overrides), cfg
     raise SystemExit(f"task {cfg.task} has no generic CLI driver yet; "
                      f"use the task API directly")
 
@@ -72,6 +73,50 @@ def synthetic_data(cfg, batch_size: int):
                     "image_b": rng.standard_normal(
                         (batch_size, s, s, 3)).astype(np.float32),
                     "label": rng.integers(0, 2, (batch_size, s, s))}
+            elif cfg.task in ("detection_h", "detection_r", "instseg"):
+                G = 16
+                rotated = cfg.task == "detection_r"
+                xy = rng.uniform(s * 0.1, s * 0.6, (batch_size, G, 2))
+                wh = rng.uniform(s * 0.05, s * 0.25, (batch_size, G, 2))
+                if rotated:
+                    boxes = np.concatenate(
+                        [xy + wh / 2, wh,
+                         rng.uniform(-1.2, 1.2, (batch_size, G, 1))],
+                        -1).astype(np.float32)
+                else:
+                    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+                batch = {
+                    "image": rng.standard_normal(
+                        (batch_size, s, s, 3)).astype(np.float32),
+                    "gt_boxes": boxes,
+                    "gt_labels": rng.integers(0, cfg.num_classes,
+                                              (batch_size, G)).astype(np.int32),
+                    "gt_valid": np.ones((batch_size, G), bool)}
+                if cfg.task == "instseg":
+                    batch["gt_masks"] = np.ones(
+                        (batch_size, G, s // 4, s // 4), np.float32)
+                yield batch
+            elif cfg.task == "multitask":
+                out = {}
+                G = 8
+                for d, nc in enumerate((18, 20, 37)):
+                    xy = rng.uniform(s * 0.1, s * 0.6, (batch_size, G, 2))
+                    wh = rng.uniform(s * 0.05, s * 0.25, (batch_size, G, 2))
+                    out[f"d{d}"] = {
+                        "image": rng.standard_normal(
+                            (batch_size, s, s, 3)).astype(np.float32),
+                        "ss_label": rng.integers(0, nc, (batch_size, s, s)).astype(np.int32),
+                        "gt_boxes": np.concatenate([xy, xy + wh], -1).astype(np.float32),
+                        "gt_labels": rng.integers(0, nc - 1, (batch_size, G)).astype(np.int32),
+                        "gt_valid": np.ones((batch_size, G), bool),
+                        "gt_masks": np.ones((batch_size, G, s // 4, s // 4), np.float32),
+                        "r_gt_boxes": np.concatenate(
+                            [xy + wh / 2, wh,
+                             rng.uniform(-1.2, 1.2, (batch_size, G, 1))],
+                            -1).astype(np.float32),
+                        "r_gt_labels": rng.integers(0, nc - 1, (batch_size, G)).astype(np.int32),
+                        "r_gt_valid": np.ones((batch_size, G), bool)}
+                yield out
             else:
                 raise SystemExit(f"--synthetic not supported for {cfg.task}")
 
@@ -87,6 +132,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--img-size", type=int, default=None,
                    help="override backbone image size (smoke runs)")
+    p.add_argument("--det-overrides", default=None,
+                   help='JSON dict of DetConfig overrides, e.g. '
+                        '\'{"nms_pre":128,"rcnn_num":32}\'')
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--pretrained", default=None,
@@ -120,7 +168,9 @@ def main(argv=None):
             cfg.backbone, img_size=args.img_size))
     recipe = dataclasses.replace(recipe, task=cfg)
 
-    task, cfg = build_task(recipe, args.mesh_data, args.mesh_model)
+    det_overrides = json.loads(args.det_overrides) if args.det_overrides else None
+    task, cfg = build_task(recipe, args.mesh_data, args.mesh_model,
+                           det_overrides)
     logger = make_logger(log_file=f"{args.work_dir}/{recipe.name}.log")
     jsonl = JsonlLogger(f"{args.work_dir}/{recipe.name}.jsonl")
     logger.info("recipe %s on mesh %s", recipe.name, task.mesh)

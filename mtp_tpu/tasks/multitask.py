@@ -28,6 +28,27 @@ from mtp_tpu.tasks.detection import anchors_for
 from mtp_tpu.utils.config import TaskConfig
 
 
+def allocate_batch_sizes(total: int, lengths: Sequence[int],
+                         mode: str = "ratio") -> Tuple[int, ...]:
+    """Split a global batch across the 3 datasets (reference batch-size
+    allocation in main_pretrain.py: 'ratio' = proportional to dataset
+    length, 'avg' = equal split).  Every dataset gets ≥1 sample and the
+    sizes sum to `total`."""
+    n = len(lengths)
+    if mode == "avg":
+        base = total // n
+        sizes = [base] * n
+    else:
+        tot_len = sum(lengths)
+        sizes = [max(1, round(total * l / tot_len)) for l in lengths]
+    # fix rounding drift onto the largest dataset
+    drift = total - sum(sizes)
+    sizes[int(np.argmax(lengths))] += drift
+    if min(sizes) < 1:
+        raise ValueError(f"batch {total} too small for {n} datasets")
+    return tuple(sizes)
+
+
 class MultiTaskPretrainTask:
     def __init__(self, cfg: TaskConfig, classes=SAMRS_CLASSES,
                  det_overrides: Optional[dict] = None, mesh=None):
@@ -41,14 +62,19 @@ class MultiTaskPretrainTask:
         self._step_fn = None
 
     def init_state(self, rng: jax.Array,
+                   pretrained_backbone: Optional[dict] = None,
                    pretrained_encoder: Optional[dict] = None) -> TrainState:
+        """pretrained_backbone/pretrained_encoder are aliases (the unified
+        task-driver API uses `pretrained_backbone`)."""
+        pretrained = (pretrained_backbone if pretrained_backbone is not None
+                      else pretrained_encoder)
         cfg = self.cfg
         s = cfg.backbone.img_size
         variables = self.model.init(rng, jnp.zeros((2, s, s, 3), jnp.float32))
         params = dict(variables["params"])
         params["encoder"] = rescale_block_init(params["encoder"], cfg.backbone.depth)
-        if pretrained_encoder is not None:
-            params["encoder"] = pretrained_encoder
+        if pretrained is not None:
+            params["encoder"] = pretrained
         batch_stats = variables.get("batch_stats", {})
 
         schedule = make_schedule(cfg.train.schedule, cfg.train.optimizer.lr)

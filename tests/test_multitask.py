@@ -111,3 +111,12 @@ def test_multitask_pretrain_e2e(tmp_path):
         for k in (f"ss_d{d}_mIoU", f"is_d{d}_mAP50", f"rd_d{d}_mAP50"):
             assert k in res and np.isfinite(res[k]), (k, res)
     assert "mtp_accuracy" in res
+
+
+def test_allocate_batch_sizes():
+    from mtp_tpu.tasks.multitask import allocate_batch_sizes
+    # SAMRS-like lengths (SOTA 17480, SIOR 23463, FAST 64147 patches)
+    sizes = allocate_batch_sizes(24, (17480, 23463, 64147), mode="ratio")
+    assert sum(sizes) == 24 and min(sizes) >= 1
+    assert sizes[2] > sizes[1] > sizes[0]
+    assert allocate_batch_sizes(24, (1, 1, 1), mode="avg") == (8, 8, 8)
