@@ -30,11 +30,15 @@ class TrainState:
 
 
 def create_state(params: Any, tx: optax.GradientTransformation,
-                 rng: jax.Array, batch_stats: Any = None) -> TrainState:
+                 rng: jax.Array, batch_stats: Any = None,
+                 init_opt: bool = True) -> TrainState:
+    """init_opt=False leaves opt_state empty — use when `shard_state(...,
+    tx=...)` will re-initialize it under jit on the mesh (avoids an eager
+    device-by-device init, which is slow on remote-attached devices)."""
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=tx.init(params) if init_opt else (),
         batch_stats=batch_stats if batch_stats is not None else {},
         rng=rng,
     )
@@ -75,9 +79,12 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
     )
 
 
-def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
-    """Place a host-initialized TrainState onto the mesh (params/opt_state by
-    the TP rules, scalars replicated)."""
+def shard_state(mesh: Mesh, state: TrainState,
+                tx: Optional[optax.GradientTransformation] = None) -> TrainState:
+    """Place a host-initialized TrainState onto the mesh: params by the TP
+    rules, scalars replicated.  When `tx` is given the optimizer state is
+    re-initialized under jit from the sharded params so the Adam moments
+    inherit the parameter shardings (instead of being replicated)."""
     psh = param_shardings(mesh, state.params)
     repl = NamedSharding(mesh, P())
 
@@ -87,15 +94,16 @@ def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
     def put_repl(tree):
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)
 
-    # opt_state leaves mirror param shapes where they are per-param moments;
-    # scalars (counts, schedules) replicate.
-    def opt_sharding(x):
-        return repl
+    params = put_like(state.params, psh)
+    if tx is not None:
+        opt_state = jax.jit(tx.init)(params)
+    else:
+        opt_state = put_repl(state.opt_state)
 
     return TrainState(
         step=jax.device_put(state.step, repl),
-        params=put_like(state.params, psh),
-        opt_state=put_repl(state.opt_state),
+        params=params,
+        opt_state=opt_state,
         batch_stats=put_repl(state.batch_stats),
         rng=jax.device_put(state.rng, repl),
     )

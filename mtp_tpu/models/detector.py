@@ -33,8 +33,8 @@ from mtp_tpu.ops.anchors import AnchorGenerator
 from mtp_tpu.ops.assign import max_iou_assign, random_sample
 from mtp_tpu.ops.boxes import bbox_overlaps, delta_decode, delta_encode
 from mtp_tpu.ops.nms import NEG_INF, batched_nms
-from mtp_tpu.ops.roi_align import (map_roi_levels, roi_align,
-                                   roi_align_rotated)
+from mtp_tpu.ops.roi_align import (map_roi_levels, map_rroi_levels,
+                                   roi_align, roi_align_rotated)
 from mtp_tpu.ops.rotated_boxes import (delta_decode_rbox, delta_encode_rbox,
                                        hbox_to_rbox, midpoint_encode,
                                        rbox2hbox_overlaps, rbox_overlaps,
@@ -137,8 +137,7 @@ class TwoStageDetector(nn.Module):
         rois: (R, 4) hbox or (R, 5) rbox."""
         d = self.det
         if d.rotated:
-            hb = rbox_to_hbox(rois)
-            lvls = map_roi_levels(hb, 4)
+            lvls = map_rroi_levels(rois, 4)
             outs = jnp.stack([
                 roi_align_rotated(f, rois, batch_idx, out_size, 1.0 / s,
                                   clockwise=True)

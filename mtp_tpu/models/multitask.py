@@ -34,7 +34,8 @@ from mtp_tpu.heads.rpn import RPNHead, RPNOut
 from mtp_tpu.heads.upernet import UperNetHead
 from mtp_tpu.models.detector import DetConfig, oriented_rcnn_cfg
 from mtp_tpu.models.backbones import build_backbone
-from mtp_tpu.ops.roi_align import map_roi_levels, roi_align, roi_align_rotated
+from mtp_tpu.ops.roi_align import (map_roi_levels, map_rroi_levels,
+                                   roi_align, roi_align_rotated)
 from mtp_tpu.ops.rotated_boxes import rbox_to_hbox
 from mtp_tpu.utils.config import BackboneConfig
 
@@ -112,8 +113,7 @@ class MultiTaskPretrainModel(nn.Module):
     def _roi_feats(self, feats, rois, bidx, out_size, rotated):
         strides = (4, 8, 16, 32)
         if rotated:
-            hb = rbox_to_hbox(rois)
-            lvls = map_roi_levels(hb, 4)
+            lvls = map_rroi_levels(rois, 4)
             outs = jnp.stack([
                 roi_align_rotated(f, rois, bidx, out_size, 1.0 / s,
                                   clockwise=True)

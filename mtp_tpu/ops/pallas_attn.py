@@ -53,9 +53,41 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _jnp_attention(q: Array, k: Array, v: Array, bias: Array,
+                   scale: float) -> Array:
+    """jnp reference (used for the backward pass: fp32 softmax like the
+    kernel)."""
+    s = jnp.einsum("whqd,whkd->whqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale + bias
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("whqk,whkd->whqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_window_attention(q: Array, k: Array, v: Array, bias: Array,
                            scale: float, interpret: bool = False) -> Array:
+    """Differentiable wrapper: Pallas kernel forward, jnp-recompute backward
+    (custom_vjp — Pallas kernels have no automatic reverse rule)."""
+    return _fused_forward(q, k, v, bias, scale, interpret)
+
+
+def _fwd(q, k, v, bias, scale, interpret):
+    return _fused_forward(q, k, v, bias, scale, interpret), (q, k, v, bias)
+
+
+def _bwd(scale, interpret, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q, k, v, b: _jnp_attention(q, k, v, b, scale),
+                     q, k, v, bias)
+    return vjp(g)
+
+
+fused_window_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_forward(q: Array, k: Array, v: Array, bias: Array,
+                   scale: float, interpret: bool = False) -> Array:
     """q/k/v (W, H, N, D); bias (W, H, N, N) fp32 → out (W, H, N, D).
 
     N is padded to the f32 sublane multiple (8) inside; padded key positions

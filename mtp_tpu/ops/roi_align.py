@@ -116,6 +116,15 @@ def map_roi_levels(rois: Array, num_levels: int, finest_scale: int = 56) -> Arra
     return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
 
 
+def map_rroi_levels(rrois: Array, num_levels: int,
+                    finest_scale: int = 56) -> Array:
+    """mmrotate RotatedSingleRoIExtractor mapping: scale = sqrt(w*h) of the
+    rotated box itself (not its bounding box)."""
+    scale = jnp.sqrt(jnp.maximum(rrois[:, 2] * rrois[:, 3], 1e-6))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
 def multilevel_roi_align(feats: Sequence[Array], rois: Array, batch_idx: Array,
                          out_size: int, strides: Sequence[int],
                          sampling: int = 2) -> Array:

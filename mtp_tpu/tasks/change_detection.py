@@ -60,8 +60,9 @@ class ChangeDetectionTask:
                                   cfg.backbone.depth, layer_id_fn=layer_id,
                                   frozen_mask=frozen_mask,
                                   scan_interval=(cfg.backbone.interval if cfg.backbone.scan else None))
-        state = create_state(params, self._tx, rng, batch_stats=batch_stats)
-        return shard_state(self.mesh, state)
+        state = create_state(params, self._tx, rng, batch_stats=batch_stats,
+                             init_opt=False)
+        return shard_state(self.mesh, state, self._tx)
 
     def train_step_fn(self):
         if self._step_fn is not None:

@@ -54,8 +54,8 @@ class ClassificationTask:
         self._tx = make_optimizer(cfg.train.optimizer, schedule, params,
                                   cfg.backbone.depth, layer_id_fn=layer_id,
                                   scan_interval=(cfg.backbone.interval if cfg.backbone.scan else None))
-        state = create_state(params, self._tx, rng)
-        return shard_state(self.mesh, state)
+        state = create_state(params, self._tx, rng, init_opt=False)
+        return shard_state(self.mesh, state, self._tx)
 
     # -- train --------------------------------------------------------------
     def train_step_fn(self):

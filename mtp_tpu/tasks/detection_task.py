@@ -77,8 +77,8 @@ class DetectionTask:
             cfg.train.optimizer, schedule, params, cfg.backbone.depth,
             layer_id_fn=layer_id,
             scan_interval=(cfg.backbone.interval if cfg.backbone.scan else None))
-        state = create_state(params, self._tx, rng)
-        return shard_state(self.mesh, state)
+        state = create_state(params, self._tx, rng, init_opt=False)
+        return shard_state(self.mesh, state, self._tx)
 
     def train_step_fn(self):
         if self._step_fn is not None:

@@ -55,8 +55,9 @@ class SegmentationTask:
         self._tx = make_optimizer(cfg.train.optimizer, schedule, params,
                                   cfg.backbone.depth, layer_id_fn=layer_id,
                                   scan_interval=(cfg.backbone.interval if cfg.backbone.scan else None))
-        state = create_state(params, self._tx, rng, batch_stats=batch_stats)
-        return shard_state(self.mesh, state)
+        state = create_state(params, self._tx, rng, batch_stats=batch_stats,
+                             init_opt=False)
+        return shard_state(self.mesh, state, self._tx)
 
     def train_step_fn(self):
         if self._step_fn is not None:

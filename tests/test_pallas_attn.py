@@ -45,3 +45,27 @@ def test_bf16_inputs():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_grad_through_pallas_path():
+    """custom_vjp: grads flow (jnp-recompute backward) and match the pure
+    jnp path's grads."""
+    rng = np.random.default_rng(2)
+    W, H, N, D = 2, 2, 49, 64
+    q = jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((W, H, N, N)) * 0.1, jnp.float32)
+
+    def loss_pallas(q, k, v, b):
+        return jnp.sum(fused_window_attention(q, k, v, b, 0.125,
+                                              True) ** 2)
+
+    def loss_ref(q, k, v, b):
+        return jnp.sum(jnp_reference(q, k, v, b, 0.125) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=1e-3)
