@@ -17,13 +17,164 @@ Semantics match torch exactly (verified in tests/test_grid_sample.py):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+# Backward strategy for d/d(img): the autodiff transpose of a gather is a
+# scatter-add, which is slow on TPU.  Below this element-count threshold the
+# image gradient is computed instead as a one-hot matmul transpose on the
+# MXU; above it (huge feature maps, e.g. RoIAlign on stride-4 masks) we fall
+# back to the scatter.  Tunable via MTP_GS_MATMUL_BWD_MAX (0 disables).
+import os as _os
+
+_MATMUL_BWD_MAX_ELEMS = float(_os.environ.get("MTP_GS_MATMUL_BWD_MAX", 3e8))
 
 
 def grid_sample(img: jax.Array, grid: jax.Array, *, align_corners: bool = True,
                 padding_mode: str = "zeros") -> jax.Array:
-    """Sample `img` (N, H, W, C) at `grid` (N, Hg, Wg, 2) → (N, Hg, Wg, C)."""
+    """Sample `img` (N, H, W, C) at `grid` (N, Hg, Wg, 2) → (N, Hg, Wg, C).
+
+    Differentiable in img and grid; the img-backward avoids TPU scatter where
+    feasible (see _MATMUL_BWD_MAX_ELEMS)."""
+    N, H, W, _ = img.shape
+    P = int(grid.shape[1] * grid.shape[2]) if grid.ndim == 4 else int(grid.shape[1])
+    if N * P * H * W <= _MATMUL_BWD_MAX_ELEMS:
+        return _grid_sample_custom(img, grid, align_corners, padding_mode)
+    return _grid_sample_impl(img, grid, align_corners=align_corners,
+                             padding_mode=padding_mode)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _grid_sample_custom(img, grid, align_corners, padding_mode):
+    return _grid_sample_impl(img, grid, align_corners=align_corners,
+                             padding_mode=padding_mode)
+
+
+def _gs_fwd(img, grid, align_corners, padding_mode):
+    out = _grid_sample_impl(img, grid, align_corners=align_corners,
+                            padding_mode=padding_mode)
+    return out, (img, grid)
+
+
+def _gs_bwd(align_corners, padding_mode, res, g):
+    """Analytic backward: 4 image gathers for d/d(grid), one-hot matmul
+    transposes for d/d(img) — no scatter, no re-forward."""
+    img, grid = res
+    N, H, W, C = img.shape
+    gflat = g.reshape(N, -1, C).astype(jnp.float32)
+    flat_img = img.reshape(N, H * W, C).astype(jnp.float32)
+    batch = jnp.arange(N)[:, None]
+
+    x = grid[..., 0].astype(jnp.float32)
+    y = grid[..., 1].astype(jnp.float32)
+    if align_corners:
+        ix = (x + 1.0) * 0.5 * (W - 1)
+        iy = (y + 1.0) * 0.5 * (H - 1)
+        jx = 0.5 * (W - 1)
+        jy = 0.5 * (H - 1)
+    else:
+        ix = ((x + 1.0) * W - 1.0) * 0.5
+        iy = ((y + 1.0) * H - 1.0) * 0.5
+        jx = 0.5 * W
+        jy = 0.5 * H
+    if padding_mode == "border":
+        in_x = (ix >= 0) & (ix <= W - 1)
+        in_y = (iy >= 0) & (iy <= H - 1)
+        ix = jnp.clip(ix, 0.0, W - 1)
+        iy = jnp.clip(iy, 0.0, H - 1)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    fx = ix - x0  # in [0, 1)
+    fy = iy - y0
+    fx_f = fx.reshape(N, -1)
+    fy_f = fy.reshape(N, -1)
+
+    hw_ids = jnp.arange(H * W, dtype=jnp.int32)
+    dimg = jnp.zeros((N, H * W, C), jnp.float32)
+    # per-tap: (dx sign for weight derivative wrt fx, dy sign wrt fy)
+    dix = jnp.zeros(fx_f.shape, jnp.float32)
+    diy = jnp.zeros(fy_f.shape, jnp.float32)
+    gsum = gflat  # (N, P, C)
+    for xc, yc, wx, wy, dwx, dwy in (
+            (x0, y0, 1 - fx, 1 - fy, -1.0, -1.0),
+            (x0 + 1, y0, fx, 1 - fy, 1.0, -1.0),
+            (x0, y0 + 1, 1 - fx, fy, -1.0, 1.0),
+            (x0 + 1, y0 + 1, fx, fy, 1.0, 1.0)):
+        w = wx * wy
+        if padding_mode == "zeros":
+            valid = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
+            w = jnp.where(valid, w, 0.0)
+            vmask = valid.reshape(N, -1).astype(jnp.float32)
+        else:
+            vmask = 1.0
+        xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        lin = (yi * W + xi).reshape(N, -1)       # (N, P)
+        w_f = w.reshape(N, -1)
+
+        # d/d(img): exact 0/1 one-hot, weight folded into the small tensor
+        onehot = (lin[:, :, None] == hw_ids[None, None, :]).astype(jnp.float32)
+        dimg = dimg + jnp.einsum("nph,npc->nhc", onehot,
+                                 gsum * w_f[:, :, None],
+                                 preferred_element_type=jnp.float32)
+
+        # d/d(grid): gather the corner values and apply weight derivatives
+        vals = flat_img[batch, lin]              # (N, P, C)
+        dot = (vals * gsum).sum(-1) * vmask      # (N, P)
+        wx_f = wx.reshape(N, -1)
+        wy_f = wy.reshape(N, -1)
+        dix = dix + dot * dwx * wy_f
+        diy = diy + dot * dwy * wx_f
+
+    if padding_mode == "border":
+        dix = dix * in_x.reshape(N, -1)
+        diy = diy * in_y.reshape(N, -1)
+    dgrid = jnp.stack([dix * jx, diy * jy], axis=-1).reshape(grid.shape)
+    return (dimg.reshape(img.shape).astype(img.dtype),
+            dgrid.astype(grid.dtype))
+
+
+_grid_sample_custom.defvjp(_gs_fwd, _gs_bwd)
+
+
+def _corner_taps(img_shape, grid, align_corners, padding_mode):
+    """The 4 (linear index, weight) corner taps of bilinear sampling; weights
+    are zeroed outside the image for 'zeros' padding."""
+    N, H, W, _ = img_shape
+    x = grid[..., 0].astype(jnp.float32)
+    y = grid[..., 1].astype(jnp.float32)
+    if align_corners:
+        ix = (x + 1.0) * 0.5 * (W - 1)
+        iy = (y + 1.0) * 0.5 * (H - 1)
+    else:
+        ix = ((x + 1.0) * W - 1.0) * 0.5
+        iy = ((y + 1.0) * H - 1.0) * 0.5
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, W - 1)
+        iy = jnp.clip(iy, 0.0, H - 1)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    taps = []
+    for xc, yc, wx, wy in (
+            (x0, y0, 1 - (ix - x0), 1 - (iy - y0)),
+            (x0 + 1, y0, ix - x0, 1 - (iy - y0)),
+            (x0, y0 + 1, 1 - (ix - x0), iy - y0),
+            (x0 + 1, y0 + 1, ix - x0, iy - y0)):
+        w = wx * wy
+        if padding_mode == "zeros":
+            valid = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
+            w = jnp.where(valid, w, 0.0)
+        xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        taps.append((yi * W + xi, w))
+    return taps
+
+
+def _grid_sample_impl(img: jax.Array, grid: jax.Array, *,
+                      align_corners: bool = True,
+                      padding_mode: str = "zeros") -> jax.Array:
     N, H, W, C = img.shape
     gshape = grid.shape
     assert gshape[0] == N and gshape[-1] == 2, (img.shape, grid.shape)
