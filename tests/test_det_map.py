@@ -100,3 +100,24 @@ def test_rbox_to_quad():
     q = rbox_to_quad_np(np.array([[10., 10., 4., 2., 0.]]))
     assert sorted(q[0][::2].tolist()) == [8, 8, 12, 12]
     assert sorted(q[0][1::2].tolist()) == [9, 9, 11, 11]
+
+
+def test_coco_results_export(tmp_path):
+    from mtp_tpu.eval.coco_results import detections_to_coco_json
+    from mtp_tpu.data.parsers import rle_to_mask
+    per_image = [{
+        "det_boxes": np.array([[2., 3., 10., 9.]], np.float32),
+        "det_scores": np.array([0.7], np.float32),
+        "det_labels": np.array([1]),
+        "mask_probs": np.ones((1, 4, 4), np.float32),
+    }]
+    out = tmp_path / "res.json"
+    res = detections_to_coco_json(per_image, image_ids=[42], cat_ids=[3, 7],
+                                  path=str(out), with_masks=True,
+                                  image_sizes=[(16, 16)])
+    assert res[0]["image_id"] == 42 and res[0]["category_id"] == 7
+    assert res[0]["bbox"] == [2.0, 3.0, 8.0, 6.0]
+    m = rle_to_mask(res[0]["segmentation"])
+    assert m.shape == (16, 16) and m[5, 5] == 1 and m[0, 0] == 0
+    import json as _json
+    assert abs(_json.load(open(out))[0]["score"] - 0.7) < 1e-6
