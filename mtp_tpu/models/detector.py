@@ -125,8 +125,8 @@ class TwoStageDetector(nn.Module):
                                        dtype=jnp.float32, name="conv_logits")
 
     # -- stages -------------------------------------------------------------
-    def features(self, x: Array) -> Tuple[Array, ...]:
-        return self.neck(self.backbone(x))
+    def features(self, x: Array, deterministic: bool = True) -> Tuple[Array, ...]:
+        return self.neck(self.backbone(x, deterministic))
 
     def rpn(self, feats: Sequence[Array]) -> RPNOut:
         return self.rpn_head(feats)

@@ -63,7 +63,11 @@ def detection_loss(model: TwoStageDetector, variables, batch: Dict[str, Array],
     final layers."""
     det = model.det
     img = batch["image"]
-    feats = model.apply(variables, img, method=TwoStageDetector.features)
+    rng, drop_rng = jax.random.split(rng)
+    # drop-path active during training (finetune det recipes use 0.1-0.3)
+    feats = model.apply(variables, img, False,
+                        method=TwoStageDetector.features,
+                        rngs={"dropout": drop_rng})
     rpn_out = model.apply(variables, feats, method=TwoStageDetector.rpn)
 
     box_fn = lambda rois, bidx: model.apply(
