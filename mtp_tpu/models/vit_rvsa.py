@@ -364,9 +364,12 @@ class Norm2d(nn.Module):
 
 class SimpleFPN(nn.Module):
     """ViTDet-style simple feature pyramid (reference fpn1..fpn4, :640-668):
-    strides 4, 8, 16, 32 from the 16-stride token grid, all `dim` channels."""
+    strides 4, 8, 16, 32 from the token grid, all `dim` channels.  The
+    patch-8 variant (reference :655-668) uses one deconv / identity / pool2 /
+    pool4 instead."""
 
     dim: int
+    patch_size: int = 16
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -374,6 +377,12 @@ class SimpleFPN(nn.Module):
         f1, f2, f3, f4 = feats
         up = lambda c, name: nn.ConvTranspose(
             c, (2, 2), strides=(2, 2), dtype=self.dtype, name=name)
+        if self.patch_size == 8:
+            x1 = up(self.dim, "fpn1_deconv1")(f1)
+            x2 = f2
+            x3 = nn.max_pool(f3, (2, 2), strides=(2, 2))
+            x4 = nn.max_pool(f4, (4, 4), strides=(4, 4))
+            return x1, x2, x3, x4
         x1 = up(self.dim, "fpn1_deconv1")(f1)
         x1 = Norm2d(name="fpn1_norm")(x1.astype(jnp.float32)).astype(self.dtype)
         x1 = nn.gelu(x1, approximate=False)
@@ -452,7 +461,8 @@ class ViTRVSA(nn.Module):
         feats = [block_outs[i] for i in cfg.out_indices]
         if features_only:
             return tuple(feats)
-        return SimpleFPN(cfg.embed_dim, dtype=dtype, name="fpn")(feats)
+        return SimpleFPN(cfg.embed_dim, patch_size=cfg.patch_size,
+                         dtype=dtype, name="fpn")(feats)
 
 
 def rescale_block_init(params: dict, depth: int) -> dict:
