@@ -79,9 +79,11 @@ def batched_nms(boxes: Array, scores: Array, idxs: Array, iou_thr: float,
     if class_agnostic:
         return nms(boxes, scores, iou_thr, max_out, iou_fn)
     # translate per class: x1y1x2y2 boxes shift all 4 coords, (cx, cy, w, h,
-    # theta) rboxes shift only the center
+    # theta) rboxes shift only the center.  For rboxes the cluster spacing
+    # must exceed max|center| + max(w,h) (a rotated box reaches beyond its
+    # center), hence the 2x margin.
     ndim = 4 if boxes.shape[-1] == 4 else 2
-    extent = jnp.max(jnp.abs(boxes[..., :4])) + 1.0
+    extent = jnp.max(jnp.abs(boxes[..., :4])) * 2.0 + 1.0
     off = idxs.astype(boxes.dtype)[:, None] * extent  # (N, 1)
     shifted = boxes.at[..., :ndim].add(
         jnp.broadcast_to(off, boxes[..., :ndim].shape))

@@ -232,3 +232,20 @@ def test_map_roi_levels():
     ], jnp.float32)
     np.testing.assert_array_equal(np.asarray(map_roi_levels(rois, 4)),
                                   [0, 1, 2, 3, 3])
+
+
+def test_batched_nms_rotated_no_cross_class_overlap():
+    """Rotated boxes of different classes must never suppress each other,
+    even when the box extent is larger than the center coordinates."""
+    from mtp_tpu.ops.rotated_boxes import rbox_overlaps
+    # center near 1, huge w/h: naive +max-center offset would still overlap
+    boxes = jnp.asarray([[1.0, 1.0, 40.0, 40.0, 0.0],
+                         [1.0, 1.0, 40.0, 40.0, 0.0]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    iou_fn = lambda a, b: rbox_overlaps(a, b)
+    _, s_diff = batched_nms(boxes, scores, jnp.asarray([0, 1]), 0.1, 2,
+                            iou_fn=iou_fn)
+    assert (np.asarray(s_diff) > NEG_INF / 2).sum() == 2  # both kept
+    _, s_same = batched_nms(boxes, scores, jnp.asarray([0, 0]), 0.1, 2,
+                            iou_fn=iou_fn)
+    assert (np.asarray(s_same) > NEG_INF / 2).sum() == 1  # one suppressed
