@@ -135,6 +135,15 @@ def main(argv=None):
     p.add_argument("--det-overrides", default=None,
                    help='JSON dict of DetConfig overrides, e.g. '
                         '\'{"nms_pre":128,"rcnn_num":32}\'')
+    p.add_argument("--ckpt-dir", default=None,
+                   help="orbax checkpoint directory (enables periodic saves)")
+    p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint from --ckpt-dir "
+                        "(reference --ft/--resume)")
+    p.add_argument("--encoder-out", default=None,
+                   help="also export the encoder-only .npz at each save "
+                        "(the finetune artifact)")
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--pretrained", default=None,
@@ -193,6 +202,16 @@ def main(argv=None):
     state = task.init_state(jax.random.PRNGKey(cfg.train.seed),
                             pretrained_backbone=pretrained)
 
+    store = None
+    if args.ckpt_dir:
+        from mtp_tpu.ckpt.store import CheckpointStore
+        store = CheckpointStore(args.ckpt_dir)
+        if args.resume:
+            restored = store.restore(state)
+            if restored is not None:
+                state = restored
+                logger.info("resumed from step %d", int(state.step))
+
     steps = cfg.train.schedule.total_steps
     if not args.synthetic:
         raise SystemExit(
@@ -205,8 +224,21 @@ def main(argv=None):
         logger.info("iter %d %s", i, {k: round(v, 4) for k, v in m.items()})
         jsonl.log(i, m)
 
+    fit_kw = {}
+    if store is not None and cfg.task == "multitask":
+        fit_kw = dict(ckpt=store, ckpt_every=args.ckpt_every,
+                      encoder_path=args.encoder_out)
     state, metrics = task.fit(state, data, steps,
-                              log_every=args.log_every, log_fn=log_fn)
+                              log_every=args.log_every, log_fn=log_fn,
+                              **fit_kw)
+    if store is not None and cfg.task != "multitask":
+        store.save(int(state.step), state, wait=True)
+        if args.encoder_out:
+            import numpy as _np
+            from mtp_tpu.ckpt.store import save_encoder
+            enc_key = "encoder" if "encoder" in state.params else "backbone"
+            save_encoder(args.encoder_out,
+                         jax.tree.map(_np.asarray, state.params[enc_key]))
     logger.info("final %s", metrics)
     print(json.dumps({"recipe": recipe.name, "final": metrics}))
     return 0
