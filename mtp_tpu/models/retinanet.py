@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from mtp_tpu.heads.fpn import FPN, upsample_nearest
+from mtp_tpu.heads.fpn import FPN
 from mtp_tpu.models.backbones import build_backbone
 from mtp_tpu.ops.anchors import AnchorGenerator
 from mtp_tpu.ops.assign import max_iou_assign

@@ -42,7 +42,9 @@ from mtp_tpu.ops.rotated_boxes import (delta_decode_rbox, delta_encode_rbox,
 Array = jax.Array
 
 
-def anchors_for(det: DetConfig, img_hw: Tuple[int, int]) -> np.ndarray:
+def anchors_for(det: Optional[DetConfig], img_hw: Tuple[int, int]) -> np.ndarray:
+    """RPN anchor grid for the standard 5-level FPN (det unused — kept for
+    call-site symmetry)."""
     gen = AnchorGenerator(strides=(4, 8, 16, 32, 64))
     sizes = [( (img_hw[0] + s - 1) // s, (img_hw[1] + s - 1) // s)
              for s in (4, 8, 16, 32, 64)]
