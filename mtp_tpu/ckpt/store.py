@@ -39,7 +39,18 @@ class CheckpointStore:
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return None
-        return self.mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+        restored = self.mgr.restore(
+            step, args=ocp.args.StandardRestore(state_like))
+
+        # Re-place every leaf onto state_like's sharding: orbax can hand
+        # scalar leaves back single-device, which then clashes with the
+        # mesh-replicated leaves inside the jitted step.
+        def place(r, like):
+            if hasattr(like, "sharding"):
+                return jax.device_put(r, like.sharding)
+            return r
+
+        return jax.tree.map(place, restored, state_like)
 
     def close(self):
         self.mgr.wait_until_finished()

@@ -212,7 +212,15 @@ def main(argv=None):
                 state = restored
                 logger.info("resumed from step %d", int(state.step))
 
-    steps = cfg.train.schedule.total_steps
+    # Resume trains only the REMAINDER of the schedule (reference --resume
+    # restores start_epoch and continues, main_pretrain.py:486,679) — not
+    # total_steps extra iterations past schedule end.
+    total_steps = cfg.train.schedule.total_steps
+    steps = max(0, total_steps - int(state.step))
+    if steps < total_steps:
+        logger.info("resume: %d/%d steps already done, %d remaining",
+                    int(state.step), total_steps, steps)
+
     if not args.synthetic:
         raise SystemExit(
             "dataset paths are site-specific; pass --synthetic for smoke "
@@ -225,20 +233,18 @@ def main(argv=None):
         jsonl.log(i, m)
 
     fit_kw = {}
-    if store is not None and cfg.task == "multitask":
+    if store is not None:
         fit_kw = dict(ckpt=store, ckpt_every=args.ckpt_every,
                       encoder_path=args.encoder_out)
     state, metrics = task.fit(state, data, steps,
                               log_every=args.log_every, log_fn=log_fn,
                               **fit_kw)
-    if store is not None and cfg.task != "multitask":
-        store.save(int(state.step), state, wait=True)
-        if args.encoder_out:
-            import numpy as _np
-            from mtp_tpu.ckpt.store import save_encoder
-            enc_key = "encoder" if "encoder" in state.params else "backbone"
-            save_encoder(args.encoder_out,
-                         jax.tree.map(_np.asarray, state.params[enc_key]))
+    if store is None and args.encoder_out:
+        import numpy as _np
+        from mtp_tpu.ckpt.store import save_encoder
+        enc_key = "encoder" if "encoder" in state.params else "backbone"
+        save_encoder(args.encoder_out,
+                     jax.tree.map(_np.asarray, state.params[enc_key]))
     logger.info("final %s", metrics)
     print(json.dumps({"recipe": recipe.name, "final": metrics}))
     return 0

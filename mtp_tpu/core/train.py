@@ -79,12 +79,43 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
     )
 
 
+def _path_segs(kp) -> Tuple[str, ...]:
+    return tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
+
+
+def opt_state_shardings(opt_shapes: Any, params_sh: Any, params: Any,
+                        repl: NamedSharding) -> Any:
+    """Sharding tree for an optimizer state: moment leaves (same trailing
+    path + shape as a param, e.g. `mu/backbone/.../kernel`) inherit that
+    param's sharding so TP-sharded params get TP-sharded Adam moments;
+    everything else (count scalars, schedule state) is replicated."""
+    flat = {}
+    for (kp, sh), (_, p) in zip(
+            jax.tree_util.tree_flatten_with_path(params_sh)[0],
+            jax.tree_util.tree_flatten_with_path(params)[0]):
+        flat[_path_segs(kp)] = (sh, tuple(p.shape))
+
+    def one(kp, leaf):
+        segs = _path_segs(kp)
+        for i in range(len(segs)):
+            hit = flat.get(segs[i:])
+            if hit is not None and hit[1] == tuple(leaf.shape):
+                return hit[0]
+        return repl
+
+    return jax.tree_util.tree_map_with_path(one, opt_shapes)
+
+
 def shard_state(mesh: Mesh, state: TrainState,
                 tx: Optional[optax.GradientTransformation] = None) -> TrainState:
     """Place a host-initialized TrainState onto the mesh: params by the TP
     rules, scalars replicated.  When `tx` is given the optimizer state is
     re-initialized under jit from the sharded params so the Adam moments
-    inherit the parameter shardings (instead of being replicated)."""
+    inherit the parameter shardings (instead of being replicated).
+
+    The jit uses EXPLICIT out_shardings: inferred outputs come back as
+    uncommitted single-device arrays, which work until a checkpoint restore
+    commits them and the next step sees mixed device sets."""
     psh = param_shardings(mesh, state.params)
     repl = NamedSharding(mesh, P())
 
@@ -96,7 +127,9 @@ def shard_state(mesh: Mesh, state: TrainState,
 
     params = put_like(state.params, psh)
     if tx is not None:
-        opt_state = jax.jit(tx.init)(params)
+        opt_shapes = jax.eval_shape(tx.init, params)
+        osh = opt_state_shardings(opt_shapes, psh, params, repl)
+        opt_state = jax.jit(tx.init, out_shardings=osh)(params)
     else:
         opt_state = put_repl(state.opt_state)
 

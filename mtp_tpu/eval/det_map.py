@@ -194,30 +194,52 @@ def eval_coco_map(per_image: Sequence[dict], num_classes: int,
 # DOTA patch merge + submission
 # ---------------------------------------------------------------------------
 
-_PATCH_RX = re.compile(r"^(.*?)__(\d+)___(\d+)$")
+_XY_RX = re.compile(r"__(\d+)___(\d+)")
 
 
-def parse_patch_id(img_id: str) -> Tuple[str, int, int]:
-    """'P0006__1024__0___512' style ids → (base, x_off, y_off) (reference
-    merge_results parses '__x___y' suffixes)."""
-    m = _PATCH_RX.match(img_id)
+def parse_patch_id(img_id: str) -> Tuple[str, int, int, float]:
+    """Standard mmrotate split ids 'P0006__1.0__0___512' → (base, x_off,
+    y_off, rate).
+
+    Reference semantics (rotated_detection/metric.py:489-497 and
+    mmrotate0.3.4 dota.py merge_det): base is everything before the FIRST
+    '__', offsets come from the first '__x___y' group — so all scales of
+    one image merge under the same base id.  The rate segment (if any) is
+    returned for optional coordinate rescaling."""
+    base = img_id.split("__", 1)[0]
+    m = _XY_RX.search(img_id)
     if not m:
-        return img_id, 0, 0
-    return m.group(1), int(m.group(2)), int(m.group(3))
+        return img_id, 0, 0, 1.0
+    rate = 1.0
+    segs = img_id.split("__")
+    if len(segs) >= 4:
+        try:
+            rate = float(segs[1])
+        except ValueError:
+            rate = 1.0
+    return base, int(m.group(1)), int(m.group(2)), rate
 
 
 def merge_dota_patches(per_patch: Dict[str, dict], num_classes: int,
                        nms_iou: float = 0.1,
-                       max_per_img: int = 2000) -> Dict[str, dict]:
+                       max_per_img: int = 2000,
+                       rescale_by_rate: bool = False) -> Dict[str, dict]:
     """Translate patch detections back to full-image coords and run
-    per-class rotated NMS per image."""
+    per-class rotated NMS per image.
+
+    `rescale_by_rate=False` matches the reference merge exactly (offsets
+    added, no scale correction — metric.py:498-508).  With True, boxes from
+    a `base__rate__x___y` patch are additionally divided by `rate`, mapping
+    multi-scale detections into original-image pixels before NMS."""
     merged: Dict[str, list] = defaultdict(list)
     for pid, det in per_patch.items():
-        base, xo, yo = parse_patch_id(pid)
+        base, xo, yo, rate = parse_patch_id(pid)
         boxes = det["det_boxes"].copy()
         if len(boxes):
             boxes[:, 0] += xo
             boxes[:, 1] += yo
+            if rescale_by_rate and rate != 1.0:
+                boxes[:, :4] /= rate
         merged[base].append((boxes, det["det_scores"], det["det_labels"]))
 
     out = {}

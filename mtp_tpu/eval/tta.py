@@ -26,20 +26,29 @@ def _resize_batch(images: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     return out
 
 
-def _unmap_boxes(boxes: np.ndarray, scale: float, flipped: bool, W: int,
-                 rotated: bool) -> np.ndarray:
+def _unmap_boxes(boxes: np.ndarray, sx: float, sy: float, flipped: bool,
+                 Wr: int, rotated: bool) -> np.ndarray:
+    """Map detections from the (resized-to-(Hr,Wr), maybe-flipped) view back
+    to original coordinates.  `sx`/`sy` are the ACTUAL per-axis factors
+    (Wr/W, Hr/H) — `int(W*scale)` truncation means the nominal scale is not
+    exact.  Flip unmaps against the resized width Wr, not W*scale.
+    Rotated w/h unscale by sqrt(sx·sy), angle kept (mmrotate RResize
+    convention for anisotropic factors)."""
     b = boxes.copy()
     if rotated:
         if flipped:
-            b[:, 0] = W * scale - b[:, 0]
+            b[:, 0] = Wr - b[:, 0]
             b[:, 4] = -b[:, 4]
-        b[:, :4] /= scale
+        b[:, 0] /= sx
+        b[:, 1] /= sy
+        b[:, 2:4] /= np.sqrt(sx * sy)
     else:
         if flipped:
-            x1 = W * scale - b[:, 2]
-            x2 = W * scale - b[:, 0]
+            x1 = Wr - b[:, 2]
+            x2 = Wr - b[:, 0]
             b[:, 0], b[:, 2] = x1, x2
-        b[:, :4] /= scale
+        b[:, [0, 2]] /= sx
+        b[:, [1, 3]] /= sy
     return b
 
 
@@ -77,15 +86,18 @@ def tta_detect(predict: Callable[[np.ndarray], dict], images: np.ndarray,
                                                  else (False,))]
     for scale, flipped in variants:
         imgs = images
+        Hr, Wr = H, W
         if scale != 1.0:
-            imgs = _resize_batch(images, (int(H * scale), int(W * scale)))
+            Hr, Wr = int(H * scale), int(W * scale)
+            imgs = _resize_batch(images, (Hr, Wr))
+        sx, sy = Wr / W, Hr / H
         if flipped:
             imgs = imgs[:, :, ::-1].copy()
         dets = predict(imgs)
         for i, d in enumerate(dets):
             if len(d["det_boxes"]) == 0:
                 continue
-            b = _unmap_boxes(d["det_boxes"], scale, flipped, W, rotated)
+            b = _unmap_boxes(d["det_boxes"], sx, sy, flipped, Wr, rotated)
             per_image[i]["det_boxes"].append(b)
             per_image[i]["det_scores"].append(d["det_scores"])
             per_image[i]["det_labels"].append(d["det_labels"])

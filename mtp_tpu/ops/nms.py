@@ -79,11 +79,17 @@ def batched_nms(boxes: Array, scores: Array, idxs: Array, iou_thr: float,
     if class_agnostic:
         return nms(boxes, scores, iou_thr, max_out, iou_fn)
     # translate per class: x1y1x2y2 boxes shift all 4 coords, (cx, cy, w, h,
-    # theta) rboxes shift only the center.  For rboxes the cluster spacing
-    # must exceed max|center| + max(w,h) (a rotated box reaches beyond its
-    # center), hence the 2x margin.
+    # theta) rboxes shift only the center.
     ndim = 4 if boxes.shape[-1] == 4 else 2
-    extent = jnp.max(jnp.abs(boxes[..., :4])) * 2.0 + 1.0
+    if ndim == 4:
+        # corners bounded by max|coord| on both sides → 2x + 1 separates
+        extent = jnp.max(jnp.abs(boxes)) * 2.0 + 1.0
+    else:
+        # rotated: centers span ±max|cx,cy| (decoded boxes can be negative)
+        # and each box reaches up to sqrt(w²+h²)/2 ≤ √2·max(w,h)/2 beyond
+        # its center, on both of the two adjacent clusters
+        extent = (jnp.max(jnp.abs(boxes[..., :2])) * 2.0
+                  + jnp.sqrt(2.0) * jnp.max(jnp.abs(boxes[..., 2:4])) + 1.0)
     off = idxs.astype(boxes.dtype)[:, None] * extent  # (N, 1)
     shifted = boxes.at[..., :ndim].add(
         jnp.broadcast_to(off, boxes[..., :ndim].shape))

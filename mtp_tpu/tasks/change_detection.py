@@ -89,17 +89,11 @@ class ChangeDetectionTask:
 
     def fit(self, state: TrainState, data: Iterator[Dict[str, np.ndarray]],
             steps: int, log_every: int = 50,
-            log_fn: Callable[[int, dict], None] = None) -> Tuple[TrainState, dict]:
-        step_fn = self.train_step_fn()
-        sh = batch_sharding(self.mesh)
-        metrics = {}
-        for i in range(steps):
-            batch = next(data)
-            batch = {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
-            state, metrics = step_fn(state, batch)
-            if log_fn and (i % log_every == 0 or i == steps - 1):
-                log_fn(i, {k: float(v) for k, v in metrics.items()})
-        return state, {k: float(v) for k, v in metrics.items()}
+            log_fn: Callable[[int, dict], None] = None,
+            **ckpt_kw) -> Tuple[TrainState, dict]:
+        from mtp_tpu.tasks._fit import fit_loop
+        return fit_loop(self, state, data, steps, log_every=log_every,
+                        log_fn=log_fn, **ckpt_kw)
 
     def evaluate(self, state: TrainState,
                  data: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:

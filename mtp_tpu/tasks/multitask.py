@@ -113,27 +113,10 @@ class MultiTaskPretrainTask:
             ckpt: Optional[CheckpointStore] = None, ckpt_every: int = 1000,
             encoder_path: Optional[str] = None,
             log_fn: Callable[[int, dict], None] = None) -> Tuple[TrainState, dict]:
-        step_fn = self.train_step_fn()
-        sh = batch_sharding(self.mesh)
-        metrics = {}
-        for i in range(steps):
-            batch = next(data)
-            batch = jax.tree.map(
-                lambda v: jax.device_put(jnp.asarray(v), sh), batch)
-            state, metrics = step_fn(state, batch)
-            if log_fn and (i % log_every == 0 or i == steps - 1):
-                log_fn(i, {k: float(v) for k, v in metrics.items()})
-            if ckpt is not None and (i + 1) % ckpt_every == 0:
-                ckpt.save(int(state.step), state)
-                if encoder_path:
-                    save_encoder(encoder_path,
-                                 jax.tree.map(np.asarray, state.params["encoder"]))
-        if ckpt is not None:
-            ckpt.save(int(state.step), state, wait=True)
-            if encoder_path:
-                save_encoder(encoder_path,
-                             jax.tree.map(np.asarray, state.params["encoder"]))
-        return state, {k: float(v) for k, v in metrics.items()}
+        from mtp_tpu.tasks._fit import fit_loop
+        return fit_loop(self, state, data, steps, log_every=log_every,
+                        log_fn=log_fn, ckpt=ckpt, ckpt_every=ckpt_every,
+                        encoder_path=encoder_path)
 
     # -- validation (reference validation(), main_pretrain.py:558-671) -------
     def evaluate(self, state: TrainState, data: Iterator[Dict],

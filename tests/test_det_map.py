@@ -66,18 +66,24 @@ def test_coco_map_perfect():
 
 
 def test_parse_patch_id():
-    assert parse_patch_id("P0006__1024___512") == ("P0006", 1024, 512)
-    assert parse_patch_id("P0006") == ("P0006", 0, 0)
+    # standard mmrotate split names: base__rate__x___y (reference
+    # rotated_detection/metric.py:489-497 takes split('__')[0] + first
+    # '__x___y' group)
+    assert parse_patch_id("P0006__1__0___512") == ("P0006", 0, 512, 1.0)
+    assert parse_patch_id("P0006__0.5__1024___512") == ("P0006", 1024, 512, 0.5)
+    # legacy two-segment form still parses
+    assert parse_patch_id("P0006__1024___512") == ("P0006", 1024, 512, 1.0)
+    assert parse_patch_id("P0006") == ("P0006", 0, 0, 1.0)
 
 
 def test_merge_dota(tmp_path):
     per_patch = {
-        "P1__0___0": {
+        "P1__1__0___0": {
             "det_boxes": np.array([[100, 100, 20, 10, 0.2]], np.float32),
             "det_scores": np.array([0.9], np.float32),
             "det_labels": np.array([0]),
         },
-        "P1__512___0": {
+        "P1__1__512___0": {
             # after +512 x-offset this duplicates the first box → NMS'd away
             "det_boxes": np.array([[100 - 512, 100, 20, 10, 0.2]], np.float32),
             "det_scores": np.array([0.8], np.float32),
@@ -94,6 +100,37 @@ def test_merge_dota(tmp_path):
     txt = (tmp_path / "sub" / "Task1_ship.txt").read_text().strip()
     assert txt.startswith("P1 0.9")
     assert (tmp_path / "sub.zip").exists()
+
+
+def test_merge_dota_multiscale():
+    """Patches of one image at different split rates merge under ONE base id
+    (reference: img_id.split('__')[0]); with rescale_by_rate the 0.5-scale
+    detection lands on the same original-image coordinates and is NMS'd."""
+    per_patch = {
+        "P0006__0.5__0___0": {
+            # coords in the 0.5x-resized image: (50,50) w=10 → orig (100,100) w=20
+            "det_boxes": np.array([[50, 50, 10, 5, 0.2]], np.float32),
+            "det_scores": np.array([0.8], np.float32),
+            "det_labels": np.array([0]),
+        },
+        "P0006__1__512___0": {
+            "det_boxes": np.array([[100 - 512, 100, 20, 10, 0.2]], np.float32),
+            "det_scores": np.array([0.9], np.float32),
+            "det_labels": np.array([0]),
+        },
+    }
+    # reference-exact merge: one base id, no rate rescale → 2 survivors
+    merged = merge_dota_patches(per_patch, num_classes=1)
+    assert set(merged) == {"P0006"}
+    assert len(merged["P0006"]["det_boxes"]) == 2
+
+    # rate-aware merge: the duplicate collapses
+    merged = merge_dota_patches(per_patch, num_classes=1,
+                                rescale_by_rate=True)
+    assert set(merged) == {"P0006"}
+    assert len(merged["P0006"]["det_boxes"]) == 1
+    np.testing.assert_allclose(merged["P0006"]["det_boxes"][0][:4],
+                               [100, 100, 20, 10])
 
 
 def test_rbox_to_quad():

@@ -249,3 +249,13 @@ def test_batched_nms_rotated_no_cross_class_overlap():
     _, s_same = batched_nms(boxes, scores, jnp.asarray([0, 0]), 0.1, 2,
                             iou_fn=iou_fn)
     assert (np.asarray(s_same) > NEG_INF / 2).sum() == 1  # one suppressed
+
+    # negative centers: class-0 at (+M,+M) and class-1 at (-M,-M) land ~1
+    # unit apart under a naive 2*max|coord|+1 extent when w/h are large
+    M = 30.0
+    boxes = jnp.asarray([[M, M, 45.0, 40.0, 0.3],
+                         [-M, -M, 45.0, 40.0, 0.3]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    _, s_neg = batched_nms(boxes, scores, jnp.asarray([0, 1]), 0.1, 2,
+                           iou_fn=iou_fn)
+    assert (np.asarray(s_neg) > NEG_INF / 2).sum() == 2  # both kept

@@ -96,4 +96,34 @@ def test_orbax_roundtrip(tmp_path):
     a = np.asarray(state.params["head"]["fc"]["kernel"])
     b = np.asarray(restored.params["head"]["fc"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+    # restored state must TRAIN: a restore that commits leaves to a single
+    # device while others sit on the mesh makes the jitted step reject the
+    # state (regression: opt_state came back SingleDeviceSharding)
+    data = iter([{"image": rng.standard_normal((2, 64, 64, 3)).astype(np.float32),
+                  "label": rng.integers(0, 4, 2)} for _ in range(2)])
+    restored, m = task.fit(restored, data, steps=2)
+    assert int(restored.step) == 5 and np.isfinite(m["loss"])
     store.close()
+
+
+def test_opt_state_shardings_committed_and_tp():
+    """shard_state gives the optimizer state explicit mesh shardings:
+    moments inherit the param layout (TP-sharded qkv moments), scalars are
+    replicated — never uncommitted single-device leaves."""
+    import dataclasses
+    import jax.tree_util as jtu
+    from jax.sharding import NamedSharding
+    from mtp_tpu.tasks.classification import ClassificationTask
+
+    cfg = dataclasses.replace(
+        CFG, task="classification", num_classes=4,
+        train=dataclasses.replace(CFG.train, mesh=MeshConfig(data=2, model=2)))
+    task = ClassificationTask(cfg)
+    state = task.init_state(jax.random.PRNGKey(0))
+    for kp, leaf in jtu.tree_flatten_with_path(state.opt_state)[0]:
+        assert isinstance(leaf.sharding, NamedSharding), (
+            jtu.keystr(kp), leaf.sharding)
+        ks = jtu.keystr(kp)
+        if "qkv" in ks and "kernel" in ks:
+            assert "model" in str(leaf.sharding.spec), (ks, leaf.sharding.spec)

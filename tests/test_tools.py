@@ -68,10 +68,20 @@ def test_tile_images(tmp_path):
     run("tile-images", "--image-dir", str(src), "--out-dir", str(dst),
         "--patch", "32", "--overlap", "8")
     names = sorted(os.listdir(dst))
-    assert "big__0___0.png" in names
-    assert "big__32___16.png" in names  # edge-aligned final patch
+    assert "big__1__0___0.png" in names
+    assert "big__1__32___16.png" in names  # edge-aligned final patch
     from mtp_tpu.eval.det_map import parse_patch_id
-    assert parse_patch_id("big__32___16") == ("big", 32, 16)
+    assert parse_patch_id("big__1__32___16") == ("big", 32, 16, 1.0)
+
+    # multi-scale split: standard mmrotate names, one base across scales
+    dst2 = tmp_path / "dst2"
+    run("tile-images", "--image-dir", str(src), "--out-dir", str(dst2),
+        "--patch", "32", "--overlap", "8", "--rates", "0.5,1.0")
+    names2 = sorted(os.listdir(dst2))
+    assert "big__0.5__0___0.png" in names2
+    assert "big__1__0___0.png" in names2
+    bases = {parse_patch_id(os.path.splitext(n)[0])[0] for n in names2}
+    assert bases == {"big"}
 
 
 def test_ckpt_surgery_npz(tmp_path):

@@ -132,30 +132,38 @@ def voc_to_coco(args):
 
 
 def tile_images(args):
-    """Tile large images into patch²-pixel patches with `base__x___y` names
-    (the DOTA patch convention parsed back by eval.det_map.parse_patch_id)."""
+    """Tile large images into patch²-pixel patches with the standard
+    mmrotate split names `base__rate__x___y` (parsed back by
+    eval.det_map.parse_patch_id; multi-scale via --rates, each image resized
+    by the rate before windowing — reference img_split convention)."""
     from PIL import Image
     os.makedirs(args.out_dir, exist_ok=True)
+    rates = [float(r) for r in (args.rates or "1.0").split(",")]
     n = 0
     for f in sorted(os.listdir(args.image_dir)):
         if not f.lower().endswith((".png", ".jpg", ".tif", ".tiff")):
             continue
         base = os.path.splitext(f)[0]
-        img = Image.open(os.path.join(args.image_dir, f))
-        W, H = img.size
-        step = args.patch - args.overlap
-        xs = list(range(0, max(W - args.patch, 0) + 1, step)) or [0]
-        ys = list(range(0, max(H - args.patch, 0) + 1, step)) or [0]
-        if xs[-1] + args.patch < W:
-            xs.append(W - args.patch)
-        if ys[-1] + args.patch < H:
-            ys.append(H - args.patch)
-        for y in ys:
-            for x in xs:
-                patch = img.crop((x, y, x + args.patch, y + args.patch))
-                patch.save(os.path.join(args.out_dir,
-                                        f"{base}__{x}___{y}.png"))
-                n += 1
+        full = Image.open(os.path.join(args.image_dir, f))
+        for rate in rates:
+            img = full if rate == 1.0 else full.resize(
+                (max(1, round(full.size[0] * rate)),
+                 max(1, round(full.size[1] * rate))), Image.BILINEAR)
+            W, H = img.size
+            step = args.patch - args.overlap
+            xs = list(range(0, max(W - args.patch, 0) + 1, step)) or [0]
+            ys = list(range(0, max(H - args.patch, 0) + 1, step)) or [0]
+            if xs[-1] + args.patch < W:
+                xs.append(W - args.patch)
+            if ys[-1] + args.patch < H:
+                ys.append(H - args.patch)
+            rtag = f"{rate:g}"
+            for y in ys:
+                for x in xs:
+                    patch = img.crop((x, y, x + args.patch, y + args.patch))
+                    patch.save(os.path.join(
+                        args.out_dir, f"{base}__{rtag}__{x}___{y}.png"))
+                    n += 1
     print(f"wrote {n} patches to {args.out_dir}")
 
 
@@ -313,6 +321,9 @@ def main(argv=None):
     s.add_argument("--out-dir", required=True)
     s.add_argument("--patch", type=int, default=1024)
     s.add_argument("--overlap", type=int, default=200)
+    s.add_argument("--rates", default="1.0",
+                   help="comma list of resize rates for multi-scale splits "
+                        "(e.g. 0.5,1.0,1.5)")
     s.set_defaults(fn=tile_images)
 
     s = sub.add_parser("geojson-to-coco")
