@@ -99,7 +99,8 @@ def synthetic_data(cfg, batch_size: int):
             elif cfg.task == "multitask":
                 out = {}
                 G = 8
-                for d, nc in enumerate((18, 20, 37)):
+                from mtp_tpu.models.multitask import SAMRS_CLASSES
+                for d, nc in enumerate(SAMRS_CLASSES):
                     xy = rng.uniform(s * 0.1, s * 0.6, (batch_size, G, 2))
                     wh = rng.uniform(s * 0.05, s * 0.25, (batch_size, G, 2))
                     out[f"d{d}"] = {
@@ -152,6 +153,13 @@ def main(argv=None):
     p.add_argument("--work-dir", default="work_dirs")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic data (smoke/benchmark runs)")
+    p.add_argument("--data-root", default=None,
+                   help="dataset root for real-data training (per-recipe "
+                        "layouts: DATASETS.md / mtp_tpu/data/bindings.py)")
+    p.add_argument("--max-gts", type=int, default=100,
+                   help="fixed-shape padding cap for gt instances per image")
+    p.add_argument("--eval-after", action="store_true",
+                   help="run validation on the val/test split after training")
     p.add_argument("--log-every", type=int, default=50)
     args = p.parse_args(argv)
 
@@ -175,6 +183,10 @@ def main(argv=None):
     if args.img_size:
         cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
             cfg.backbone, img_size=args.img_size))
+        if cfg.slide is not None and cfg.slide.crop > args.img_size:
+            from mtp_tpu.utils.config import SlideConfig
+            cfg = dataclasses.replace(cfg, slide=SlideConfig(
+                crop=args.img_size, stride=max(args.img_size // 2, 1)))
     recipe = dataclasses.replace(recipe, task=cfg)
 
     det_overrides = json.loads(args.det_overrides) if args.det_overrides else None
@@ -221,12 +233,18 @@ def main(argv=None):
         logger.info("resume: %d/%d steps already done, %d remaining",
                     int(state.step), total_steps, steps)
 
-    if not args.synthetic:
+    batch_size = args.batch_size or cfg.train.batch_size
+    if args.synthetic:
+        data = synthetic_data(cfg, batch_size)
+    elif args.data_root:
+        from mtp_tpu.data.bindings import build_train_data
+        data, info = build_train_data(recipe, cfg, args.data_root,
+                                      batch_size, max_gts=args.max_gts)
+        logger.info("real data from %s: %s", args.data_root, info)
+    else:
         raise SystemExit(
-            "dataset paths are site-specific; pass --synthetic for smoke "
-            "runs or drive the task API with a real Loader (see "
-            "mtp_tpu/data/datasets.py)")
-    data = synthetic_data(cfg, args.batch_size or cfg.train.batch_size)
+            "pass --data-root <dir> (layouts: DATASETS.md) for real-data "
+            "training or --synthetic for smoke runs")
 
     def log_fn(i, m):
         logger.info("iter %d %s", i, {k: round(v, 4) for k, v in m.items()})
@@ -246,7 +264,28 @@ def main(argv=None):
         save_encoder(args.encoder_out,
                      jax.tree.map(_np.asarray, state.params[enc_key]))
     logger.info("final %s", metrics)
-    print(json.dumps({"recipe": recipe.name, "final": metrics}))
+
+    eval_metrics = None
+    if args.eval_after:
+        if not args.data_root:
+            raise SystemExit("--eval-after needs --data-root")
+        from mtp_tpu.data.bindings import build_eval_data
+        eval_iter = build_eval_data(recipe, cfg, args.data_root, batch_size,
+                                    max_gts=args.max_gts)
+        if eval_iter is None:
+            logger.warning("no val/test split under %s — skipping eval",
+                           args.data_root)
+        else:
+            kw = {"coco": True} if cfg.task == "instseg" else {}
+            eval_metrics = task.evaluate(state, eval_iter, **kw)
+            eval_metrics = {k: v for k, v in eval_metrics.items()
+                            if isinstance(v, (int, float))}
+            logger.info("eval %s", eval_metrics)
+
+    out = {"recipe": recipe.name, "final": metrics}
+    if eval_metrics is not None:
+        out["eval"] = eval_metrics
+    print(json.dumps(out))
     return 0
 
 

@@ -1,9 +1,22 @@
-"""Config registry: named recipes mirroring the reference's 60+ mmengine
-configs (RS_Tasks_Finetune/*/configs/mtp/) plus the pretraining CLI.
+"""Config registry: named recipes mirroring the reference's mmengine config
+matrix (RS_Tasks_Finetune/*/configs/mtp/, 83 configs) plus the pretraining
+CLI.
 
-Each entry is a zero-arg factory returning a `Recipe`; list them with
-`available()`, build with `get(name)`.  Names follow the reference file
-names: `<head>_<backbone>_<size>_<init>_<dataset>`.
+The matrix is {dataset} × {rvsa_b, rvsa_l, intern_xl} × {mae, mae+mtp |
+imp, imp+mtp}: the init tag names WHICH pretrained checkpoint the reference
+config loads — in this framework the checkpoint is a runtime flag
+(`--pretrained`), so init variants share one TaskConfig and the tag is
+recorded on the recipe.  Names follow the reference file names exactly.
+
+Backbone feature taps follow the reference:
+- classification/segmentation/CD use the 4 intermediate out_indices
+  (RVSA_MTP with fpn ops / raw features),
+- detection uses the LAST-layer feature through all 4 FPN ops (plain
+  RVSA_MTP in mmdet/mmrotate, ViTDet-style;
+  vit_rvsa_mtp_branches.py:833-842 is the diff),
+- `_branches` variants (FAIR1M) restore the intermediate taps.
+
+List recipes with `available()`, build with `get(name)`.
 """
 
 from __future__ import annotations
@@ -22,6 +35,7 @@ class Recipe:
     task: TaskConfig
     # dataset construction hints (paths are user-supplied at runtime)
     dataset: str = ""
+    init: str = ""  # which pretrained encoder the reference pairs with
     notes: str = ""
 
 
@@ -42,6 +56,10 @@ def available():
 def get(name: str) -> Recipe:
     return _REGISTRY[name]()
 
+
+# --------------------------------------------------------------------------
+# task-family config shapes (hyper-parameters from the reference configs)
+# --------------------------------------------------------------------------
 
 def _cls(backbone: BackboneConfig, num_classes: int, steps: int,
          lr: float = 2.5e-4, layer_decay: float = 0.9) -> TaskConfig:
@@ -84,9 +102,9 @@ def _cd(backbone: BackboneConfig, steps: int = 40000) -> TaskConfig:
 
 
 def _det(backbone: BackboneConfig, num_classes: int, steps: int = 90000,
-         lr: float = 1e-4) -> TaskConfig:
+         lr: float = 1e-4, task: str = "detection_h") -> TaskConfig:
     return TaskConfig(
-        task="detection_h", num_classes=num_classes, backbone=backbone,
+        task=task, num_classes=num_classes, backbone=backbone,
         train=TrainConfig(
             batch_size=8,
             optimizer=OptimizerConfig(lr=lr, weight_decay=0.05,
@@ -95,154 +113,115 @@ def _det(backbone: BackboneConfig, num_classes: int, steps: int = 90000,
                                     warmup_steps=500)))
 
 
-# --- scene classification (reference Scene_Classification/configs/mtp) -----
-
-@register("vit-rvsa-b-224-mae-mtp_eurosat")
-def _():
-    return Recipe("vit-rvsa-b-224-mae-mtp_eurosat",
-                  _cls(vit_b_rvsa(224, drop_path_rate=0.1), 10, 10000),
-                  dataset="eurosat", notes="OA target 98.76 (BASELINE.md)")
-
-
-@register("vit-rvsa-l-224-mae-mtp_eurosat")
-def _():
-    return Recipe("vit-rvsa-l-224-mae-mtp_eurosat",
-                  _cls(vit_l_rvsa(224, drop_path_rate=0.3, scan=True), 10, 10000),
-                  dataset="eurosat", notes="OA target 98.78")
-
-
-@register("vit-rvsa-b-224-mae-mtp_resisc45")
-def _():
-    return Recipe("vit-rvsa-b-224-mae-mtp_resisc45",
-                  _cls(vit_b_rvsa(224, drop_path_rate=0.1), 45, 12000),
-                  dataset="resisc45", notes="OA target 95.57")
-
-
-# --- semantic segmentation (reference Semantic_Segmentation/configs/mtp) ----
-
-@register("rvsa-b-upernet-384-mae-mtp-spacenetv1")
-def _():
-    return Recipe("rvsa-b-upernet-384-mae-mtp-spacenetv1",
-                  _seg(vit_b_rvsa(384, drop_path_rate=0.1), 2, crop=384),
-                  dataset="spacenetv1", notes="mIoU target 79.63")
-
-
-@register("rvsa-l-upernet-384-mae-mtp-spacenetv1")
-def _():
-    return Recipe("rvsa-l-upernet-384-mae-mtp-spacenetv1",
-                  _seg(vit_l_rvsa(384, drop_path_rate=0.3, scan=True), 2,
-                       crop=384),
-                  dataset="spacenetv1", notes="mIoU target 79.54")
-
-
-@register("rvsa-b-upernet-512-mae-mtp-loveda")
-def _():
-    return Recipe("rvsa-b-upernet-512-mae-mtp-loveda",
-                  _seg(vit_b_rvsa(512, drop_path_rate=0.1), 7, crop=512),
-                  dataset="loveda", notes="mIoU target 52.39")
-
-
-@register("rvsa-l-upernet-512-mae-mtp-loveda")
-def _():
-    return Recipe("rvsa-l-upernet-512-mae-mtp-loveda",
-                  _seg(vit_l_rvsa(512, drop_path_rate=0.3, scan=True), 7,
-                       crop=512),
-                  dataset="loveda", notes="mIoU target 54.17")
-
-
-# --- change detection (reference Change_Detection/configs/mtp) -------------
-
-@register("rvsa-b-unet-256-mae-mtp_levir")
-def _():
-    return Recipe("rvsa-b-unet-256-mae-mtp_levir",
-                  _cd(vit_b_rvsa(256, drop_path_rate=0.1)),
-                  dataset="levir", notes="F1 target 92.22")
-
-
-@register("rvsa-l-unet-256-mae-mtp_levir")
-def _():
-    return Recipe("rvsa-l-unet-256-mae-mtp_levir",
-                  _cd(vit_l_rvsa(256, drop_path_rate=0.3, scan=True)),
-                  dataset="levir", notes="F1 target 92.67")
-
-
-@register("rvsa-b-unet-256-mae-mtp_whu")
-def _():
-    return Recipe("rvsa-b-unet-256-mae-mtp_whu",
-                  _cd(vit_b_rvsa(256, drop_path_rate=0.1)),
-                  dataset="whu", notes="F1 target 94.32")
-
-
-# --- horizontal detection (reference Horizontal_Detection/configs/mtp) ------
-
-@register("faster_rcnn_rvsa_b_800_mae_mtp_dior")
-def _():
-    return Recipe("faster_rcnn_rvsa_b_800_mae_mtp_dior",
-                  _det(vit_b_rvsa(800, drop_path_rate=0.1), 20),
-                  dataset="dior", notes="AP50 target 79.00; Faster R-CNN")
-
-
-@register("faster_rcnn_rvsa_l_800_mae_mtp_dior")
-def _():
-    return Recipe("faster_rcnn_rvsa_l_800_mae_mtp_dior",
-                  _det(vit_l_rvsa(800, drop_path_rate=0.3, scan=True), 20),
-                  dataset="dior", notes="AP50 target 81.70")
-
-
-@register("retinanet_rvsa_l_416_mae_mtp_xview")
-def _():
-    return Recipe("retinanet_rvsa_l_416_mae_mtp_xview",
-                  _det(vit_l_rvsa(416, drop_path_rate=0.3, scan=True), 60),
-                  dataset="xview", notes="AP50 target 19.40; RetinaNet head")
-
-
-# --- rotated detection (reference Rotated_Detection/configs/mtp) ------------
-
-@register("oriented_rcnn_rvsa_b_800_mae_mtp_diorr")
-def _():
-    t = _det(vit_b_rvsa(800, drop_path_rate=0.1), 20)
-    return Recipe("oriented_rcnn_rvsa_b_800_mae_mtp_diorr",
-                  dataclasses.replace(t, task="detection_r"),
-                  dataset="dior-r", notes="mAP target 71.29; Oriented R-CNN")
-
-
-@register("oriented_rcnn_rvsa_l_1024_mae_mtp_dota")
-def _():
-    t = _det(vit_l_rvsa(1024, drop_path_rate=0.3, scan=True), 15)
-    return Recipe("oriented_rcnn_rvsa_l_1024_mae_mtp_dota",
-                  dataclasses.replace(t, task="detection_r"),
-                  dataset="dota10", notes="mAP target 81.66 (multi-scale)")
-
-
-# --- InternImage-XL variants (reference pairs it with every task) ----------
+# --------------------------------------------------------------------------
+# backbone builders
+# --------------------------------------------------------------------------
 
 def _internimage_xl(img_size: int, **kw):
     from mtp_tpu.models.backbones import internimage_backbone_config
     return internimage_backbone_config("internimage_xl", img_size, **kw)
 
 
-@register("internimage-xl-224-imp-mtp_eurosat")
-def _():
-    return Recipe("internimage-xl-224-imp-mtp_eurosat",
-                  _cls(_internimage_xl(224), 10, 10000),
-                  dataset="eurosat", notes="OA target 99.24")
+def _bb(kind: str, size: int, det_last: bool = False) -> BackboneConfig:
+    """det_last: plain RVSA_MTP detection taps (last layer through all 4
+    FPN ops) vs the intermediate out_indices of RVSA_MTP(_branches)."""
+    if kind == "rvsa_b":
+        oi = (11, 11, 11, 11) if det_last else (3, 5, 7, 11)
+        return vit_b_rvsa(size, drop_path_rate=0.1, out_indices=oi)
+    if kind == "rvsa_l":
+        oi = (23, 23, 23, 23) if det_last else (7, 11, 15, 23)
+        return vit_l_rvsa(size, drop_path_rate=0.3, scan=True,
+                          out_indices=oi)
+    if kind == "intern_xl":
+        return _internimage_xl(size)
+    raise KeyError(kind)
 
 
-@register("internimage-xl-upernet-512-imp-mtp-loveda")
-def _():
-    return Recipe("internimage-xl-upernet-512-imp-mtp-loveda",
-                  _seg(_internimage_xl(512), 7, crop=512),
-                  dataset="loveda", notes="mIoU target 54.17")
+# per-backbone name fragments and init tags (reference file-name style)
+_CLS_TAG = {"rvsa_b": "vit-rvsa-b", "rvsa_l": "vit-rvsa-l",
+            "intern_xl": "intern-xl"}
+_SEG_TAG = {"rvsa_b": "rvsa-b", "rvsa_l": "rvsa-l", "intern_xl": "intern-xl"}
+_INITS = {"rvsa_b": ("mae", "mae-mtp"), "rvsa_l": ("mae", "mae-mtp"),
+          "intern_xl": ("imp", "imp-mtp")}
 
 
-@register("internimage-xl-unet-256-imp-mtp_levir")
-def _():
-    return Recipe("internimage-xl-unet-256-imp-mtp_levir",
-                  _cd(_internimage_xl(256)),
-                  dataset="levir", notes="F1 target 92.54")
+def _register_recipe(name: str, task: TaskConfig, dataset: str, init: str,
+                     notes: str = ""):
+    def fn(task=task, name=name, dataset=dataset, init=init, notes=notes):
+        return Recipe(name, task, dataset=dataset, init=init, notes=notes)
+    _REGISTRY[name] = fn
 
 
-# --- multi-task pretraining (reference Multi-Task_Pretrain) -----------------
+def _matrix():
+    # --- scene classification (Scene_Classification/configs/mtp) ---------
+    for ds, nc, steps, note in (("eurosat", 10, 10000, "OA 98.76 B / 98.78 L"),
+                                ("nwpu28", 45, 12000, "RESISC-45, OA 95.57")):
+        for bk in ("rvsa_b", "rvsa_l", "intern_xl"):
+            for init in _INITS[bk]:
+                name = f"{_CLS_TAG[bk]}-224-{init}_{ds}"
+                _register_recipe(name, _cls(_bb(bk, 224), nc, steps),
+                                 "resisc45" if ds == "nwpu28" else ds,
+                                 init, note)
+
+    # --- semantic segmentation (Semantic_Segmentation/configs/mtp) -------
+    for ds, nc, size, note in (("spacenetv1", 2, 384, "mIoU 79.63 B"),
+                               ("loveda", 7, 512, "mIoU 54.17 L")):
+        for bk in ("rvsa_b", "rvsa_l", "intern_xl"):
+            for init in _INITS[bk]:
+                name = f"{_SEG_TAG[bk]}-upernet-{size}-{init}-{ds}"
+                _register_recipe(name, _seg(_bb(bk, size), nc, crop=size),
+                                 ds, init, note)
+
+    # --- change detection (Change_Detection/configs/mtp) -----------------
+    for ds, size, note in (("levir", 256, "F1 92.67 L"),
+                           ("whu", 256, "F1 94.32 B"),
+                           ("cdd", 256, "SVCD/CDD pairs"),
+                           ("oscd_rgb", 96, "OSCD RGB")):
+        for bk in ("rvsa_b", "rvsa_l", "intern_xl"):
+            for init in _INITS[bk]:
+                name = f"{_SEG_TAG[bk]}-unet-{size}-{init}_{ds}"
+                _register_recipe(name, _cd(_bb(bk, size)),
+                                 "svcd" if ds == "cdd" else
+                                 ("oscd" if ds == "oscd_rgb" else ds),
+                                 init, note)
+
+    # --- horizontal detection (Horizontal_Detection/configs/mtp) ---------
+    for bk in ("rvsa_b", "rvsa_l", "intern_xl"):
+        for init in _INITS[bk]:
+            it = init.replace("-", "_")
+            _register_recipe(
+                f"faster_rcnn_{bk}_800_{it}_dior",
+                _det(_bb(bk, 800, det_last=True), 20),
+                "dior", init, "AP50 81.70 L")
+            _register_recipe(
+                f"retinanet_{bk}_416_{it}_xview",
+                _det(_bb(bk, 416, det_last=True), 60),
+                "xview", init, "AP 19.40 L; RetinaNet head")
+
+    # --- rotated detection (Rotated_Detection/configs/mtp) ---------------
+    rot = [("diorr", "dior-r", 20, 800, "mAP 74.54 L", False),
+           ("dota10", "dota10", 15, 1024, "mAP 81.66 L ms", False),
+           ("dota20", "dota20", 18, 1024, "DOTA-v2.0", False),
+           ("fair1m20", "fair1m", 37, 800, "FAIR1M-v2; branches taps", True)]
+    for tag, ds, nc, size, note, branches in rot:
+        for bk in ("rvsa_b", "rvsa_l", "intern_xl"):
+            for init in _INITS[bk]:
+                it = init.replace("-", "_")
+                suffix = "_branches" if branches and bk != "intern_xl" else ""
+                name = f"oriented_rcnn_{bk}_{size}_{it}_{tag}{suffix}"
+                _register_recipe(
+                    name,
+                    _det(_bb(bk, size, det_last=not branches), nc,
+                         task="detection_r"),
+                    ds, init, note)
+
+
+_matrix()
+
+
+# --------------------------------------------------------------------------
+# multi-task pretraining (reference Multi-Task_Pretrain CLI)
+# --------------------------------------------------------------------------
 
 @register("mtp_vit_b_rvsa_448_samrs")
 def _():
@@ -257,7 +236,8 @@ def _():
                                           layer_decay=0.9),
                 schedule=ScheduleConfig(kind="cosine", total_steps=80000,
                                         warmup_steps=2000))),
-        dataset="samrs", notes="SOTA+SIOR+FAST joint pretraining")
+        dataset="samrs", init="mae",
+        notes="SOTA+SIOR+FAST joint pretraining")
 
 
 @register("mtp_vit_l_rvsa_448_samrs")
@@ -273,4 +253,45 @@ def _():
                                           layer_decay=0.9),
                 schedule=ScheduleConfig(kind="cosine", total_steps=80000,
                                         warmup_steps=2000))),
-        dataset="samrs", notes="flagship pretraining recipe")
+        dataset="samrs", init="mae",
+        notes="flagship pretraining recipe")
+
+
+@register("mtp_internimage_xl_448_samrs")
+def _():
+    return Recipe(
+        "mtp_internimage_xl_448_samrs",
+        TaskConfig(
+            task="multitask", num_classes=0,
+            backbone=_internimage_xl(448),
+            train=TrainConfig(
+                batch_size=24,
+                optimizer=OptimizerConfig(lr=1e-4, weight_decay=0.05,
+                                          layer_decay=0.9),
+                schedule=ScheduleConfig(kind="cosine", total_steps=80000,
+                                        warmup_steps=2000))),
+        dataset="samrs", init="imp",
+        notes="InternImage-XL pretraining (reference --backbone internimage)")
+
+
+# --------------------------------------------------------------------------
+# legacy aliases (round-1 names kept for compatibility)
+# --------------------------------------------------------------------------
+
+_ALIASES = {
+    "vit-rvsa-b-224-mae-mtp_eurosat": "vit-rvsa-b-224-mae-mtp_eurosat",
+    "vit-rvsa-b-224-mae-mtp_resisc45": "vit-rvsa-b-224-mae-mtp_nwpu28",
+    "rvsa-b-upernet-384-mae-mtp-spacenetv1":
+        "rvsa-b-upernet-384-mae-mtp-spacenetv1",
+    "oriented_rcnn_rvsa_l_1024_mae_mtp_dota":
+        "oriented_rcnn_rvsa_l_1024_mae_mtp_dota10",
+    "internimage-xl-224-imp-mtp_eurosat": "intern-xl-224-imp-mtp_eurosat",
+    "internimage-xl-upernet-512-imp-mtp-loveda":
+        "intern-xl-upernet-512-imp-mtp-loveda",
+    "internimage-xl-unet-256-imp-mtp_levir":
+        "intern-xl-unet-256-imp-mtp_levir",
+}
+for _alias, _target in _ALIASES.items():
+    if _alias not in _REGISTRY and _target in _REGISTRY:
+        _REGISTRY[_alias] = (lambda t=_target, a=_alias:
+                             dataclasses.replace(_REGISTRY[t](), name=a))

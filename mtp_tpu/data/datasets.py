@@ -30,15 +30,43 @@ SOTA_CLASSES = (
     "background", "large-vehicle", "swimming-pool", "helicopter", "bridge",
     "plane", "ship", "soccer-ball-field", "basketball-court",
     "ground-track-field", "small-vehicle", "baseball-diamond", "tennis-court",
-    "roundabout", "storage-tank", "harbor", "container-crane", "helipad")
+    "roundabout", "storage-tank", "harbor", "container-crane", "airport",
+    "helipad")
 SIOR_CLASSES = (
     "background", "airplane", "airport", "baseballfield", "basketballcourt",
     "bridge", "chimney", "expressway-service-area", "expressway-toll-station",
     "dam", "golffield", "groundtrackfield", "harbor", "overpass", "ship",
     "stadium", "storagetank", "tenniscourt", "trainstation", "vehicle",
     "windmill")
-# FAST has 37 incl. background; listed in the reference FASTMultiTaskDataset
-FAST_NUM_CLASSES = 37
+# FAIR1M-v2 fine categories (reference FASTMultiTaskDataset /
+# FAIR1Mv2Dataset METAINFO) — FAST is the SAMRS subset built from FAIR1M
+FAIR1M_CLASSES = (
+    "A220", "A321", "A330", "A350", "ARJ21", "Baseball-Field",
+    "Basketball-Court", "Boeing737", "Boeing747", "Boeing777", "Boeing787",
+    "Bridge", "Bus", "C919", "Cargo-Truck", "Dry-Cargo-Ship", "Dump-Truck",
+    "Engineering-Ship", "Excavator", "Fishing-Boat", "Football-Field",
+    "Intersection", "Liquid-Cargo-Ship", "Motorboat", "other-airplane",
+    "other-ship", "other-vehicle", "Passenger-Ship", "Roundabout",
+    "Small-Car", "Tennis-Court", "Tractor", "Trailer", "Truck-Tractor",
+    "Tugboat", "Van", "Warship")
+FAST_CLASSES = ("background",) + FAIR1M_CLASSES
+FAST_NUM_CLASSES = len(FAST_CLASSES)  # 38 incl. background
+
+# DOTA family (reference mmrotate DOTADataset/DOTAv15/DOTAv2 METAINFO)
+DOTA10_CLASSES = (
+    "plane", "baseball-diamond", "bridge", "ground-track-field",
+    "small-vehicle", "large-vehicle", "ship", "tennis-court",
+    "basketball-court", "storage-tank", "soccer-ball-field", "roundabout",
+    "harbor", "swimming-pool", "helicopter")
+DOTA15_CLASSES = DOTA10_CLASSES + ("container-crane",)
+DOTA20_CLASSES = DOTA15_CLASSES + ("airport", "helipad")
+
+# DIOR / DIOR-R 20 classes (reference mmrotate DIORDataset METAINFO)
+DIOR_CLASSES = (
+    "airplane", "airport", "baseballfield", "basketballcourt", "bridge",
+    "chimney", "expressway-service-area", "expressway-toll-station", "dam",
+    "golffield", "groundtrackfield", "harbor", "overpass", "ship", "stadium",
+    "storagetank", "tenniscourt", "trainstation", "vehicle", "windmill")
 
 
 def imread(path: str) -> np.ndarray:
@@ -205,7 +233,7 @@ class CocoDetection:
 
 
 class RotatedDetection:
-    """DOTA-txt or DIOR-R VOC-xml rotated detection."""
+    """DOTA-txt, DIOR-R VOC-xml, or raw-FAIR1M-xml rotated detection."""
 
     def __init__(self, img_dir: str, ann_dir: str, class_names: Sequence[str],
                  fmt: str = "dota", img_suffix: str = ".png", pipeline=None,
@@ -232,6 +260,11 @@ class RotatedDetection:
                 os.path.join(self.ann_dir, stem + ".txt"), self.classes)
             keep = diff < self.filter_difficulty
             rb, lb = quads_to_rboxes(quads[keep]), labels[keep]
+        elif self.fmt == "fair1m":
+            from mtp_tpu.data.parsers import parse_fair1m_xml
+            quads, lb = parse_fair1m_xml(
+                os.path.join(self.ann_dir, stem + ".xml"), self.classes)
+            rb = quads_to_rboxes(quads)
         else:
             rb, lb = parse_voc_rotated_xml(
                 os.path.join(self.ann_dir, stem + ".xml"), self.classes)

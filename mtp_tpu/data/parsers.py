@@ -206,6 +206,35 @@ def parse_dota_txt(path: str, class_names: Sequence[str]
             np.asarray(labels, np.int32), np.asarray(diff, np.int32))
 
 
+def parse_fair1m_xml(path: str, class_names: Sequence[str]
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Raw FAIR1M label xml → (quads (N, 8), labels (N,)).
+
+    Format: <objects><object><possibleresult><name>CLS</name></possibleresult>
+    <points><point>x,y</point>×5</points></object>… (the 5th point repeats
+    the 1st).  The reference consumes the DOTA-txt conversion of these
+    files (mmrotate fair1m.py load_annotations); this parser reads the raw
+    distribution directly."""
+    name_map = {n: i for i, n in enumerate(class_names)}
+    tree = ET.parse(path)
+    quads, labels = [], []
+    for obj in tree.findall(".//object"):
+        name = obj.findtext(".//possibleresult/name") or obj.findtext("name")
+        pts = [p.text for p in obj.findall(".//points/point")]
+        if name is None or len(pts) < 4:
+            continue
+        xy = []
+        for p in pts[:4]:
+            x, y = p.split(",")
+            xy += [float(x), float(y)]
+        quads.append(xy)
+        labels.append(name_map.get(name, -1))
+    q = np.asarray(quads, np.float32).reshape(-1, 8)
+    lb = np.asarray(labels, np.int32)
+    keep = lb >= 0
+    return q[keep], lb[keep]
+
+
 def parse_voc_rotated_xml(path: str, class_names: Sequence[str]
                           ) -> Tuple[np.ndarray, np.ndarray]:
     """VOC xml with robndbox (cx, cy, w, h, angle) → (rboxes (N, 5), labels)."""

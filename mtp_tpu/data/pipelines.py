@@ -117,6 +117,30 @@ def seg_test_pipeline(size: int = None):
     return fn
 
 
+def det_train_pipeline(size: int = 800, flip_prob: float = 0.5):
+    """Detection finetune train pipeline (reference mmdet/mmrotate configs:
+    Resize keep-ratio to (size, size) → RandomFlip 0.5 → Normalize → Pad).
+    Joint on hboxes/rboxes/masks via the label-aware transforms."""
+
+    def fn(sample: Sample, rng: np.random.Generator) -> Sample:
+        s = T.resize(sample, (size, size), keep_ratio=True)
+        s = T.random_flip(s, rng, prob=flip_prob, directions=("horizontal",))
+        s = filter_small_instances(s)
+        s = T.normalize(s)
+        return T.pad_to(s, (size, size))
+
+    return fn
+
+
+def det_test_pipeline(size: int = 800):
+    def fn(sample: Sample, rng=None) -> Sample:
+        s = T.resize(sample, (size, size), keep_ratio=True)
+        s = T.normalize(s)
+        return T.pad_to(s, (size, size))
+
+    return fn
+
+
 def cd_train_pipeline(crop: int = 256):
     """Dual-image pipeline: identical geometry on A/B, photometric jitter
     applied independently (open-cd MultiImg* semantics)."""

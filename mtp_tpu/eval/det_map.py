@@ -52,6 +52,17 @@ def np_rbox_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
                                     jnp.asarray(b, jnp.float32)))
 
 
+def np_quad_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Convex-quad IoU on host ((N,8) corner polygons) — the nms_quadri
+    path of the reference merge (rotated_detection/metric.py:533)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    import jax.numpy as jnp
+    from mtp_tpu.ops.rotated_boxes import quad_overlaps
+    return np.asarray(quad_overlaps(jnp.asarray(a, jnp.float32),
+                                    jnp.asarray(b, jnp.float32)))
+
+
 def average_precision(recall: np.ndarray, precision: np.ndarray,
                       mode: str = "area") -> float:
     """mmdet 'area' mode (all-point interpolation) or '11points'."""
@@ -141,53 +152,14 @@ def eval_map(per_image: Sequence[dict], num_classes: int,
 
 def eval_coco_map(per_image: Sequence[dict], num_classes: int,
                   max_dets: int = 100) -> Dict[str, float]:
-    """COCO-protocol AP averaged over IoU .5:.05:.95 (101-point
-    interpolation), horizontal boxes."""
-    thrs = np.arange(0.5, 1.0, 0.05)
-    rec_t = np.linspace(0, 1, 101)
-    ap_per_thr = []
-    ap50 = ap75 = None
-    for ti, thr in enumerate(thrs):
-        aps = []
-        for c in range(num_classes):
-            scores_all, tp_all = [], []
-            n_gt = 0
-            for im in per_image:
-                dm = im["det_labels"] == c
-                gm = im["gt_labels"] == c
-                db = im["det_boxes"][dm][:max_dets]
-                ds = im["det_scores"][dm][:max_dets]
-                gb = im["gt_boxes"][gm]
-                n_gt += len(gb)
-                tp, fp = tpfp(db, ds, gb, np.zeros(len(gb), bool), thr,
-                              np_bbox_iou)
-                scores_all.append(ds)
-                tp_all.append(tp)
-            if n_gt == 0:
-                aps.append(np.nan)
-                continue
-            scores = np.concatenate(scores_all) if scores_all else np.zeros(0)
-            tp = np.concatenate(tp_all) if tp_all else np.zeros(0)
-            order = np.argsort(-scores)
-            tp_c = np.cumsum(tp[order])
-            fp_c = np.cumsum(1 - tp[order])
-            rec = tp_c / n_gt
-            prec = tp_c / np.maximum(tp_c + fp_c, 1e-9)
-            # 101-point interpolated precision
-            for i in range(len(prec) - 2, -1, -1):
-                prec[i] = max(prec[i], prec[i + 1])
-            idx = np.searchsorted(rec, rec_t, side="left")
-            p = np.where(idx < len(prec), prec[np.minimum(idx, max(len(prec) - 1, 0))], 0)
-            aps.append(p.mean() if len(prec) else 0.0)
-        valid = [a for a in aps if not np.isnan(a)]
-        m = float(np.mean(valid)) if valid else 0.0
-        ap_per_thr.append(m)
-        if abs(thr - 0.5) < 1e-6:
-            ap50 = m
-        if abs(thr - 0.75) < 1e-6:
-            ap75 = m
-    return {"mAP": float(np.mean(ap_per_thr) * 100),
-            "AP50": float((ap50 or 0) * 100), "AP75": float((ap75 or 0) * 100)}
+    """COCO-protocol bbox AP (and segm AP when masks are present).
+
+    Thin alias over eval.coco_eval.evaluate_coco_bbox_segm, which carries
+    the full COCOeval semantics (crowd/ignore handling, area ranges,
+    maxDets sweep, AR) — one protocol implementation for every caller."""
+    from mtp_tpu.eval.coco_eval import evaluate_coco_bbox_segm
+    md = (1, 10, max_dets) if max_dets > 10 else (max_dets,)
+    return evaluate_coco_bbox_segm(per_image, num_classes, max_dets=md)
 
 
 # ---------------------------------------------------------------------------
@@ -223,28 +195,39 @@ def parse_patch_id(img_id: str) -> Tuple[str, int, int, float]:
 def merge_dota_patches(per_patch: Dict[str, dict], num_classes: int,
                        nms_iou: float = 0.1,
                        max_per_img: int = 2000,
-                       rescale_by_rate: bool = False) -> Dict[str, dict]:
+                       rescale_by_rate: bool = False,
+                       box_type: str = "rbox") -> Dict[str, dict]:
     """Translate patch detections back to full-image coords and run
-    per-class rotated NMS per image.
+    per-class NMS per image.  box_type 'rbox' ((cx,cy,w,h,θ), nms_rotated)
+    or 'qbox' ((x1..y4) corner polygons, nms_quadri — the FAIR1M multi-
+    scale protocol, reference metric.py:504-535).
 
     `rescale_by_rate=False` matches the reference merge exactly (offsets
     added, no scale correction — metric.py:498-508).  With True, boxes from
     a `base__rate__x___y` patch are additionally divided by `rate`, mapping
     multi-scale detections into original-image pixels before NMS."""
+    dim = 8 if box_type == "qbox" else 5
+    iou_fn = np_quad_iou if box_type == "qbox" else np_rbox_iou
     merged: Dict[str, list] = defaultdict(list)
     for pid, det in per_patch.items():
         base, xo, yo, rate = parse_patch_id(pid)
         boxes = det["det_boxes"].copy()
         if len(boxes):
-            boxes[:, 0] += xo
-            boxes[:, 1] += yo
-            if rescale_by_rate and rate != 1.0:
-                boxes[:, :4] /= rate
+            if box_type == "qbox":
+                boxes[:, 0::2] += xo
+                boxes[:, 1::2] += yo
+                if rescale_by_rate and rate != 1.0:
+                    boxes /= rate
+            else:
+                boxes[:, 0] += xo
+                boxes[:, 1] += yo
+                if rescale_by_rate and rate != 1.0:
+                    boxes[:, :4] /= rate
         merged[base].append((boxes, det["det_scores"], det["det_labels"]))
 
     out = {}
     for base, items in merged.items():
-        boxes = np.concatenate([b for b, _, _ in items]) if items else np.zeros((0, 5))
+        boxes = np.concatenate([b for b, _, _ in items]) if items else np.zeros((0, dim))
         scores = np.concatenate([s for _, s, _ in items]) if items else np.zeros(0)
         labels = np.concatenate([l for _, _, l in items]) if items else np.zeros(0, np.int64)
         keep_b, keep_s, keep_l = [], [], []
@@ -255,7 +238,7 @@ def merge_dota_patches(per_patch: Dict[str, dict], num_classes: int,
             b, s = boxes[m], scores[m]
             order = np.argsort(-s)
             b, s = b[order], s[order]
-            ious = np_rbox_iou(b, b)
+            ious = iou_fn(b, b)
             alive = np.ones(len(b), bool)
             for i in range(len(b)):
                 if not alive[i]:
@@ -274,7 +257,7 @@ def merge_dota_patches(per_patch: Dict[str, dict], num_classes: int,
             out[base] = {"det_boxes": b[order], "det_scores": s[order],
                          "det_labels": l[order]}
         else:
-            out[base] = {"det_boxes": np.zeros((0, 5)),
+            out[base] = {"det_boxes": np.zeros((0, dim)),
                          "det_scores": np.zeros(0),
                          "det_labels": np.zeros(0, np.int64)}
     return out
@@ -301,8 +284,13 @@ def write_dota_submission(results: Dict[str, dict], class_names: Sequence[str],
     for c, name in enumerate(class_names):
         files[c] = open(os.path.join(out_dir, f"Task1_{name}.txt"), "w")
     for img_id, det in results.items():
-        quads = rbox_to_quad_np(det["det_boxes"]) if len(det["det_boxes"]) \
-            else np.zeros((0, 8))
+        b = det["det_boxes"]
+        if len(b) == 0:
+            quads = np.zeros((0, 8))
+        elif b.shape[1] == 8:  # already corner polygons (qbox path)
+            quads = b
+        else:
+            quads = rbox_to_quad_np(b)
         for q, s, l in zip(quads, det["det_scores"], det["det_labels"]):
             files[int(l)].write(
                 f"{img_id} {s:.4f} " + " ".join(f"{v:.2f}" for v in q) + "\n")

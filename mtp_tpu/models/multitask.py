@@ -43,7 +43,9 @@ Array = jax.Array
 
 # SAMRS dataset class counts including background (reference main_pretrain.py
 # passes classes1..3 = 18 (SOTA), 20 (SIOR), 37 (FAST) with --background True)
-SAMRS_CLASSES = (18, 20, 37)
+# total class counts incl. background: SOTA 18+1, SIOR 20+1, FAST 37+1
+# (reference main_pretrain.py:150-157 with the default --background True)
+SAMRS_CLASSES = (19, 21, 38)
 
 
 def default_det_h(num_classes: int) -> DetConfig:

@@ -204,6 +204,33 @@ def rbox_overlaps(a: Array, b: Array, eps: float = 1e-6,
     return inter / jnp.maximum(denom, eps)
 
 
+def quad_overlaps(a: Array, b: Array, eps: float = 1e-6) -> Array:
+    """Pairwise convex-quadrilateral IoU: a (N, 8) vs b (M, 8) → (N, M)
+    (mmcv `box_iou_quadri` semantics — the qbox path of the reference
+    rotated-det merge, rotated_detection/metric.py:150,533)."""
+    ca = a.reshape(-1, 4, 2)
+    cb = b.reshape(-1, 4, 2)
+
+    def ccw(c):
+        x, y = c[..., 0], c[..., 1]
+        area2 = jnp.sum(x * jnp.roll(y, -1, axis=-1)
+                        - jnp.roll(x, -1, axis=-1) * y, axis=-1)
+        return jnp.where(area2[..., None, None] < 0, c[..., ::-1, :], c)
+
+    def shoelace(c):
+        x, y = c[..., 0], c[..., 1]
+        return 0.5 * jnp.abs(jnp.sum(
+            x * jnp.roll(y, -1, axis=-1) - jnp.roll(x, -1, axis=-1) * y,
+            axis=-1))
+
+    area_a = shoelace(ca)[:, None]
+    area_b = shoelace(cb)[None, :]
+    ca, cb = ccw(ca), ccw(cb)
+    inter = jax.vmap(lambda c1: jax.vmap(
+        lambda c2: _pair_intersection(c1, c2))(cb))(ca)
+    return inter / jnp.maximum(area_a + area_b - inter, eps)
+
+
 def rbox2hbox_overlaps(rboxes: Array, hboxes: Array) -> Array:
     """mmrotate RBbox2HBboxOverlaps2D: IoU of rbox *bounding boxes* vs
     hboxes (used by the oriented-RPN assigner, max_iou_assigner.py:21-80)."""

@@ -128,21 +128,44 @@ class DetectionTask:
                  data: Iterator[Dict[str, np.ndarray]],
                  iou_thr: float = 0.5,
                  coco: bool = False) -> Dict[str, float]:
+        """VOC AP50 by default (DIOR/DIOR-R protocol); `coco=True` runs the
+        full COCO protocol — for mask_rcnn that includes segm (mask-IoU) AP
+        like the reference IS metric (instance_segmentation/metric.py:22
+        evaluates ['bbox', 'segm'])."""
+        from mtp_tpu.eval.masks import paste_masks
+
         predict = self.predict_fn()
+        with_mask = coco and self.head == "mask_rcnn"
         per_image = []
         for batch in data:
             dets = predict(state.params, jnp.asarray(batch["image"]))
+            H, W = batch["image"].shape[1:3]
             for i in range(len(batch["image"])):
                 v = np.asarray(dets.valid[i])
                 gv = np.asarray(batch["gt_valid"][i])
-                per_image.append({
+                rec = {
                     "det_boxes": np.asarray(dets.boxes[i])[v],
                     "det_scores": np.asarray(dets.scores[i])[v],
                     "det_labels": np.asarray(dets.labels[i])[v],
                     "gt_boxes": np.asarray(batch["gt_boxes"][i])[gv],
                     "gt_labels": np.asarray(batch["gt_labels"][i])[gv],
-                })
+                }
+                if with_mask and dets.mask_logits is not None \
+                        and "gt_masks" in batch:
+                    probs = 1.0 / (1.0 + np.exp(
+                        -np.asarray(dets.mask_logits[i])[v]))
+                    rec["det_masks"] = paste_masks(probs, rec["det_boxes"],
+                                                   H, W)
+                    gm = np.asarray(batch["gt_masks"][i])[gv]
+                    # gt masks arrive at the pipeline's stride (H/s, W/s);
+                    # upsample to image resolution for mask IoU
+                    if gm.shape[1:] != (H, W):
+                        ry, rx = H // gm.shape[1], W // gm.shape[2]
+                        gm = np.repeat(np.repeat(gm, ry, 1), rx, 2)
+                    rec["gt_masks"] = (gm > 0.5).astype(np.uint8)
+                per_image.append(rec)
         if coco and not self.rotated:
-            return eval_coco_map(per_image, self.cfg.num_classes)
+            from mtp_tpu.eval.coco_eval import evaluate_coco_bbox_segm
+            return evaluate_coco_bbox_segm(per_image, self.cfg.num_classes)
         return eval_map(per_image, self.cfg.num_classes, iou_thr,
                         rotated=self.rotated)

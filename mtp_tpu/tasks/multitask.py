@@ -121,9 +121,13 @@ class MultiTaskPretrainTask:
     # -- validation (reference validation(), main_pretrain.py:558-671) -------
     def evaluate(self, state: TrainState, data: Iterator[Dict],
                  max_batches: int = 0) -> Dict[str, float]:
-        """9-way eval: per-dataset mIoU + horizontal mAP50 + rotated mAP50,
-        plus the averaged 'MTP accuracy' the reference logs."""
+        """9-way eval (reference validation(), main_pretrain.py:558-671):
+        per-dataset mIoU, COCO bbox+segm mAP for instance segmentation
+        (instance_segmentation/metric.py:22 evaluates ['bbox','segm']),
+        VOC-style rotated mAP50, plus the averaged 'MTP accuracy'."""
+        from mtp_tpu.eval.coco_eval import evaluate_coco_bbox_segm
         from mtp_tpu.eval.det_map import eval_map
+        from mtp_tpu.eval.masks import paste_masks
         from mtp_tpu.eval.metrics import SegAccumulator
 
         model = self.model
@@ -156,14 +160,27 @@ class MultiTaskPretrainTask:
             for d in range(3):
                 bd = batch[f"d{d}"]
                 images = jnp.asarray(bd["image"])
+                H, W = images.shape[1:3]
                 ss_pred, det_h, det_r = predict(variables, images, d)
                 seg_acc[d].add(np.asarray(ss_pred), bd["ss_label"])
                 for i in range(images.shape[0]):
                     gv = np.asarray(bd["gt_valid"][i])
-                    det_h_imgs[d].append(dict(
+                    rec = dict(
                         unpad(det_h, i),
                         gt_boxes=np.asarray(bd["gt_boxes"][i])[gv],
-                        gt_labels=np.asarray(bd["gt_labels"][i])[gv]))
+                        gt_labels=np.asarray(bd["gt_labels"][i])[gv])
+                    if det_h.mask_logits is not None and "gt_masks" in bd:
+                        v = np.asarray(det_h.valid[i])
+                        probs = 1.0 / (1.0 + np.exp(
+                            -np.asarray(det_h.mask_logits[i])[v]))
+                        rec["det_masks"] = paste_masks(
+                            probs, rec["det_boxes"], H, W)
+                        gm = np.asarray(bd["gt_masks"][i])[gv]
+                        if gm.shape[1:] != (H, W):
+                            ry, rx = H // gm.shape[1], W // gm.shape[2]
+                            gm = np.repeat(np.repeat(gm, ry, 1), rx, 2)
+                        rec["gt_masks"] = (gm > 0.5).astype(np.uint8)
+                    det_h_imgs[d].append(rec)
                     rv = np.asarray(bd["r_gt_valid"][i])
                     det_r_imgs[d].append(dict(
                         unpad(det_r, i),
@@ -174,12 +191,17 @@ class MultiTaskPretrainTask:
         accs = []
         for d in range(3):
             miou = seg_acc[d].evaluate()["mIoU"]
-            mh = eval_map(det_h_imgs[d], self.model.classes[d] - 1)["mAP"]
+            coco = evaluate_coco_bbox_segm(det_h_imgs[d],
+                                           self.model.classes[d] - 1)
             mr = eval_map(det_r_imgs[d], self.model.classes[d] - 1,
                           rotated=True)["mAP"]
             out[f"ss_d{d}_mIoU"] = miou
-            out[f"is_d{d}_mAP50"] = mh
+            out[f"is_d{d}_mAP50"] = coco["AP50"]
+            out[f"is_d{d}_mAP"] = coco["mAP"]
+            if "segm_mAP" in coco:
+                out[f"is_d{d}_segm_mAP"] = coco["segm_mAP"]
+                out[f"is_d{d}_segm_mAP50"] = coco["segm_AP50"]
             out[f"rd_d{d}_mAP50"] = mr
-            accs += [miou, mh, mr]
+            accs += [miou, coco["AP50"], mr]
         out["mtp_accuracy"] = float(np.mean(accs))
         return out

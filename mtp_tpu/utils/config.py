@@ -66,15 +66,17 @@ class BackboneConfig:
 
 
 def vit_b_rvsa(img_size: int = 224, **kw) -> BackboneConfig:
+    kw.setdefault("out_indices", (3, 5, 7, 11))
     return BackboneConfig(
         name="vit_b_rvsa", img_size=img_size, embed_dim=768, depth=12,
-        num_heads=12, interval=3, out_indices=(3, 5, 7, 11), **kw)
+        num_heads=12, interval=3, **kw)
 
 
 def vit_l_rvsa(img_size: int = 224, **kw) -> BackboneConfig:
+    kw.setdefault("out_indices", (7, 11, 15, 23))
     return BackboneConfig(
         name="vit_l_rvsa", img_size=img_size, embed_dim=1024, depth=24,
-        num_heads=16, interval=6, out_indices=(7, 11, 15, 23), **kw)
+        num_heads=16, interval=6, **kw)
 
 
 BACKBONES = {"vit_b_rvsa": vit_b_rvsa, "vit_l_rvsa": vit_l_rvsa}

@@ -1,6 +1,10 @@
 """Change-detection e2e: loss decreases on a synthetic change task, frozen
 backbone stays frozen, F1 metric sane."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import numpy as np
 import jax
 import jax.numpy as jnp

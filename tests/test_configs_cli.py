@@ -1,5 +1,9 @@
 """Config registry + CLI surface tests."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import json
 import subprocess
 import sys

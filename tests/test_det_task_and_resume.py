@@ -1,6 +1,10 @@
 """Detection task driver e2e (Faster R-CNN + RetinaNet heads), mask pasting,
 and orbax checkpoint save/restore round-trip."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import numpy as np
 import jax
 import jax.numpy as jnp

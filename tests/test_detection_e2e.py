@@ -1,6 +1,10 @@
 """Detection end-to-end: loss computes/decreases, predict returns sane padded
 detections, for both Faster R-CNN (+mask) and Oriented R-CNN — tiny configs."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import dataclasses
 
 import numpy as np

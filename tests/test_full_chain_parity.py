@@ -7,6 +7,10 @@ holds for random weights at these shapes, the converter + model reproduce the
 reference computation for any checkpoint.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import numpy as np
 import torch
 import torch.nn.functional as F

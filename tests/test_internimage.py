@@ -1,5 +1,9 @@
 """InternImage backbone tests: pyramid shapes, UperNet composition, grads."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full model forward+grad compiles
+
 import dataclasses
 
 import numpy as np

@@ -1,6 +1,10 @@
 """InternImage as the backbone of the task wrappers (classification +
 segmentation + CD fusion), incl. the InternImage layer-decay mapping."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import dataclasses
 
 import numpy as np

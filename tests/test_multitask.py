@@ -1,6 +1,10 @@
 """Multi-task pretraining e2e: 9-way joint loss computes and decreases,
 encoder-only export round-trips into a finetune task."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -105,10 +109,12 @@ def test_multitask_pretrain_e2e(tmp_path):
     want = np.asarray(state.params["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"])
     np.testing.assert_allclose(got, want, atol=0)
 
-    # 9-way validation branch (reference validation())
+    # 9-way validation branch (reference validation()); IS reports the COCO
+    # protocol incl. segm (mask-IoU) mAP like the reference IS metric
     res = task.evaluate(state, iter([synth_batch(seed=99)]))
     for d in range(3):
-        for k in (f"ss_d{d}_mIoU", f"is_d{d}_mAP50", f"rd_d{d}_mAP50"):
+        for k in (f"ss_d{d}_mIoU", f"is_d{d}_mAP50", f"is_d{d}_mAP",
+                  f"is_d{d}_segm_mAP", f"rd_d{d}_mAP50"):
             assert k in res and np.isfinite(res[k]), (k, res)
     assert "mtp_accuracy" in res
 

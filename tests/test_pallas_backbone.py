@@ -1,6 +1,10 @@
 """Backbone with pallas_attn=True matches the jnp path (interpret mode is
 forced on CPU via the pltpu helper)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import dataclasses
 
 import numpy as np

@@ -128,3 +128,47 @@ def test_loader_epoch():
     assert batches[0]["image"].shape == (4, 8, 8, 3)
     seen = {int(b["image"][i, 0, 0, 0]) for b in batches for i in range(4)}
     assert len(seen) == 8  # shuffled, no dup
+
+
+def test_parse_fair1m_xml(tmp_path):
+    from mtp_tpu.data.parsers import parse_fair1m_xml
+    xml = """<annotation><objects>
+      <object>
+        <possibleresult><name>Boeing737</name></possibleresult>
+        <points><point>10,20</point><point>50,20</point><point>50,40</point>
+                <point>10,40</point><point>10,20</point></points>
+      </object>
+      <object>
+        <possibleresult><name>UnknownThing</name></possibleresult>
+        <points><point>0,0</point><point>1,0</point><point>1,1</point>
+                <point>0,1</point><point>0,0</point></points>
+      </object>
+    </objects></annotation>"""
+    p = tmp_path / "a.xml"
+    p.write_text(xml)
+    from mtp_tpu.data.datasets import FAIR1M_CLASSES
+    quads, labels = parse_fair1m_xml(str(p), FAIR1M_CLASSES)
+    assert quads.shape == (1, 8)  # unknown class dropped
+    assert labels[0] == FAIR1M_CLASSES.index("Boeing737")
+    np.testing.assert_allclose(quads[0][:4], [10, 20, 50, 20])
+
+
+def test_rotated_detection_fair1m_fmt(tmp_path):
+    from mtp_tpu.data.datasets import RotatedDetection, FAIR1M_CLASSES
+    from PIL import Image
+    (tmp_path / "images").mkdir()
+    (tmp_path / "ann").mkdir()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+        tmp_path / "images" / "x.png")
+    (tmp_path / "ann" / "x.xml").write_text(
+        "<annotation><objects><object>"
+        "<possibleresult><name>Bridge</name></possibleresult>"
+        "<points><point>4,4</point><point>20,4</point><point>20,12</point>"
+        "<point>4,12</point><point>4,4</point></points>"
+        "</object></objects></annotation>")
+    ds = RotatedDetection(str(tmp_path / "images"), str(tmp_path / "ann"),
+                          FAIR1M_CLASSES, fmt="fair1m")
+    s = ds[0]
+    assert s["rboxes"].shape == (1, 5)
+    np.testing.assert_allclose(s["rboxes"][0][:2], [12, 8], atol=1e-4)
+    assert s["rlabels"][0] == FAIR1M_CLASSES.index("Bridge")

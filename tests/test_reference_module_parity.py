@@ -1,0 +1,109 @@
+"""Parity against the REFERENCE'S OWN torch module.
+
+The released MTP checkpoints can't be downloaded in this environment, so —
+per the round-1 verdict's fallback — the correctness anchor is the
+reference's actual `vit_win_rvsa_v3_wsz7.py` executed as the oracle
+(imported from the read-only checkout with tiny shims for its timm/mmengine
+imports; nothing is copied).  A random state_dict from the REAL reference
+module goes through ckpt/torch_convert and must reproduce the reference
+forward exactly — the same path a real released `*_encoder.pth` takes.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/Multi-Task_Pretrain/backbone/vit_win_rvsa_v3_wsz7.py"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(REF),
+                                reason="reference checkout not present")
+
+
+def _load_reference_module():
+    import torch
+
+    # shims for the reference's external imports (API-compatible stubs of
+    # timm.models.layers and mmengine.dist — not reference code)
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        def drop_path(x, drop_prob=0.0, training=False):
+            if drop_prob == 0.0 or not training:
+                return x
+            keep = 1 - drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+            return x.div(keep) * mask.floor_()
+
+        def to_2tuple(v):
+            return v if isinstance(v, tuple) else (v, v)
+
+        layers.drop_path = drop_path
+        layers.to_2tuple = to_2tuple
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        timm.models = models
+        models.layers = layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+    if "mmengine" not in sys.modules:
+        mmengine = types.ModuleType("mmengine")
+        dist = types.ModuleType("mmengine.dist")
+        dist.get_dist_info = lambda: (0, 1)
+        mmengine.dist = dist
+        sys.modules["mmengine"] = mmengine
+        sys.modules["mmengine.dist"] = dist
+
+    spec = importlib.util.spec_from_file_location("ref_rvsa", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_reference_rvsa_forward_parity():
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from mtp_tpu.ckpt.torch_convert import convert_backbone
+    from mtp_tpu.models.vit_rvsa import ViTRVSA
+    from mtp_tpu.utils.config import BackboneConfig
+
+    ref = _load_reference_module()
+    torch.manual_seed(0)
+    # tiny-but-real config: 7x7 patch grid (= the RVSA window), one full-
+    # attention block at interval 3, all four pyramid taps
+    tm = ref.ViT_Win_RVSA_V3_WSZ7(
+        img_size=112, patch_size=16, embed_dim=32, depth=4, num_heads=2,
+        mlp_ratio=4, qkv_bias=True, use_abs_pos_emb=True,
+        use_rel_pos_bias=True, interval=3, out_indices=[0, 1, 2, 3])
+    tm.eval()
+    # non-trivial weights everywhere (default init leaves many zeros)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+
+    x = np.random.default_rng(1).standard_normal((2, 112, 112, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref_feats = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    ref_feats = [f.permute(0, 2, 3, 1).numpy() for f in ref_feats]
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    cfg = BackboneConfig(img_size=112, patch_size=16, embed_dim=32, depth=4,
+                         num_heads=2, interval=3, out_indices=(0, 1, 2, 3),
+                         dtype="float32")
+    params = convert_backbone(sd, cfg)
+    ours = jax.jit(
+        lambda p: ViTRVSA(cfg).apply({"params": p}, jnp.asarray(x)))(params)
+
+    assert len(ours) == len(ref_feats) == 4
+    for i, (a, b) in enumerate(zip(ours, ref_feats)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), b, atol=5e-4, rtol=1e-3,
+                                   err_msg=f"pyramid level {i}")

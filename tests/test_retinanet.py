@@ -1,5 +1,9 @@
 """RetinaNet: anchors, loss finiteness/decrease, padded prediction."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import dataclasses
 
 import numpy as np

@@ -145,3 +145,41 @@ def test_hbox_to_rbox():
     h = jnp.asarray([[0., 0., 4., 10.]])
     r = np.asarray(hbox_to_rbox(h))[0]
     np.testing.assert_allclose(r[:4], [2, 5, 10, 4], atol=1e-6)  # long edge first
+
+
+def test_quad_overlaps():
+    """Convex-quad IoU (box_iou_quadri semantics): axis-aligned squares as
+    quads reproduce hbox IoU; rotated quad matches rbox_overlaps."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mtp_tpu.ops.rotated_boxes import quad_overlaps, rbox_overlaps, rbox_to_corners
+
+    a = jnp.asarray([[0., 0., 4., 0., 4., 4., 0., 4.]])
+    b = jnp.asarray([[2., 0., 6., 0., 6., 4., 2., 4.]])
+    iou = np.asarray(quad_overlaps(a, b))[0, 0]
+    np.testing.assert_allclose(iou, 8.0 / 24.0, atol=1e-5)
+
+    rb = jnp.asarray([[10., 10., 6., 4., 0.5], [11., 9., 5., 3., -0.3]])
+    quads = rbox_to_corners(rb).reshape(-1, 8)
+    got = np.asarray(quad_overlaps(quads, quads))
+    want = np.asarray(rbox_overlaps(rb, rb))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_merge_qbox():
+    """qbox patch merge: quads translate by (x,y) on all corners and
+    duplicates collapse under quad NMS (reference nms_quadri branch)."""
+    import numpy as np
+    from mtp_tpu.eval.det_map import merge_dota_patches
+
+    q = np.asarray([[10., 10., 30., 10., 30., 20., 10., 20.]], np.float32)
+    per_patch = {
+        "P1__1__0___0": {"det_boxes": q, "det_scores": np.asarray([0.9], np.float32),
+                         "det_labels": np.asarray([0])},
+        "P1__1__512___0": {"det_boxes": q - np.asarray([512., 0.] * 4, np.float32),
+                           "det_scores": np.asarray([0.8], np.float32),
+                           "det_labels": np.asarray([0])},
+    }
+    m = merge_dota_patches(per_patch, 1, box_type="qbox")
+    assert set(m) == {"P1"} and len(m["P1"]["det_boxes"]) == 1
+    np.testing.assert_allclose(m["P1"]["det_boxes"][0], q[0], atol=1e-4)

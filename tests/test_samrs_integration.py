@@ -2,6 +2,10 @@
 + COCO instance json + seg PNGs + DOTA txts) → MultiTaskDataset → pretrain
 pipeline → Loader/collate_multitask → one multitask training step."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import json
 import os
 

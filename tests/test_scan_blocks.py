@@ -1,6 +1,10 @@
 """Scanned block-group backbone: numerically identical to the unrolled one
 (given restacked params), and layer-decay scales match per block."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import dataclasses
 
 import numpy as np

@@ -1,6 +1,10 @@
 """End-to-end task tests on an 8-virtual-device CPU mesh: loss decreases,
 sliding-window inference averages correctly, TP mesh compiles and runs."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full train-step compile
+
 import numpy as np
 import pytest
 import jax

@@ -104,3 +104,68 @@ def test_dota_to_fair1m(tmp_path):
     run("dota-to-fair1m", "--sub-dir", str(sub), "--out-dir", str(out))
     xml = (out / "IMG1.xml").read_text()
     assert "Bridge" in xml and "0.9000" in xml
+
+
+def test_xview_prepare(tmp_path):
+    """geojson → remapped classes → tiled patches → COCO (reference
+    prepare_xview_dataset.py pipeline)."""
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    # 100x60 image → padded to 64 rows, tiled into 64² patches
+    Image.fromarray(np.zeros((60, 100, 3), np.uint8)).save(img_dir / "a.tif")
+    feats = [
+        # type_id 11 → class 0, box near the left edge
+        {"properties": {"image_id": "a.tif", "type_id": 11,
+                        "bounds_imcoords": "5,5,20,20"}},
+        # type_id 17 → class 4, center at x=80 → right patch
+        {"properties": {"image_id": "a.tif", "type_id": 17,
+                        "bounds_imcoords": "70,10,90,30"}},
+        # type_id 75 → -1 (unused id) → skipped
+        {"properties": {"image_id": "a.tif", "type_id": 75,
+                        "bounds_imcoords": "1,1,9,9"}},
+    ]
+    (tmp_path / "l.geojson").write_text(json.dumps({"features": feats}))
+    out = tmp_path / "out"
+    msg = run("xview-prepare", "--geojson", str(tmp_path / "l.geojson"),
+              "--image-dir", str(img_dir), "--out-dir", str(out),
+              "--patch", "64", "--val-frac", "0")
+    assert "skipped" in msg
+    d = json.loads((out / "train.json").read_text())
+    assert len(d["images"]) == 2  # two patches with centers inside
+    cats = {a["category_id"] for a in d["annotations"]}
+    assert cats == {0, 4}
+    assert len(d["categories"]) == 60
+    for im in d["images"]:
+        assert (out / "images" / im["file_name"]).exists()
+        assert im["width"] == 64 and im["height"] == 64
+    # boxes live in patch coordinates
+    for a in d["annotations"]:
+        x, y, w, h = a["bbox"]
+        assert 0 <= x < 64 and 0 <= y < 64 and w > 0 and h > 0
+    assert json.loads((out / "val.json").read_text())["images"] == []
+
+
+def test_spacenet_masks(tmp_path):
+    """Pixel-space footprints rasterize to 0/255 masks (reference
+    process_spacenet.py without GDAL); holes stay empty."""
+    img_dir = tmp_path / "3band"
+    gj_dir = tmp_path / "geojson"
+    img_dir.mkdir()
+    gj_dir.mkdir()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+        img_dir / "3band_AOI_1_RIO_img1.tif")
+    poly = {"type": "Feature", "geometry": {
+        "type": "Polygon",
+        "coordinates": [
+            [[4, 4], [28, 4], [28, 28], [4, 28]],      # exterior
+            [[12, 12], [20, 12], [20, 20], [12, 20]],  # hole
+        ]}}
+    (gj_dir / "Geo_AOI_1_RIO_img1.geojson").write_text(
+        json.dumps({"features": [poly]}))
+    out = tmp_path / "masks"
+    run("spacenet-masks", "--geojson-dir", str(gj_dir),
+        "--image-dir", str(img_dir), "--out-dir", str(out))
+    m = np.asarray(Image.open(out / "3band_AOI_1_RIO_img1.png"))
+    assert m.shape == (32, 32)
+    assert m[8, 8] == 255 and m[0, 0] == 0
+    assert m[16, 16] == 0  # hole

@@ -167,6 +167,198 @@ def tile_images(args):
     print(f"wrote {n} patches to {args.out_dir}")
 
 
+# xView raw type_ids 11-94 → contiguous 0-59 (reference
+# prepare_xview_dataset.py:80-84, the ultralytics xView remap table)
+XVIEW_CLASS2INDEX = [
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 0, 1, 2, -1, 3, -1, 4, 5,
+    6, 7, 8, -1, 9, 10, 11, 12, 13, 14, 15, -1, -1, 16, 17, 18, 19, 20, 21,
+    22, -1, 23, 24, 25, -1, 26, 27, -1, 28, -1, 29, 30, 31, 32, 33, 34, 35,
+    36, 37, -1, 38, 39, 40, 41, 42, 43, 44, 45, -1, -1, -1, -1, 46, 47, 48,
+    49, -1, 50, 51, -1, 52, -1, -1, -1, 53, 54, -1, 55, -1, -1, 56, -1, 57,
+    -1, 58, 59]
+
+
+def xview_prepare(args):
+    """Full xView preparation (reference prepare_xview_dataset.py:
+    convert_labels :67-110 + clip_xview_yolo :187-311 + yolo→coco :405-520):
+    geojson → class remap → per-image train/val split → 416² patches (gray
+    padding, center-inside box assignment, clip-to-patch) → COCO jsons in
+    the bindings.py detection layout ({out}/images + {out}/{split}.json)."""
+    import numpy as np
+    from PIL import Image
+
+    with open(args.geojson) as f:
+        gj = json.load(f)
+    by_image = {}
+    skipped = 0
+    for feat in gj["features"]:
+        p = feat.get("properties", {})
+        if not p.get("bounds_imcoords") or "type_id" not in p:
+            continue
+        try:
+            box = [float(v) for v in str(p["bounds_imcoords"]).split(",")]
+            assert len(box) == 4
+            cls = XVIEW_CLASS2INDEX[int(p["type_id"])]
+            assert 0 <= cls <= 59
+        except Exception:
+            skipped += 1
+            continue
+        by_image.setdefault(p["image_id"], []).append((cls, box))
+
+    names = sorted(n for n in by_image
+                   if os.path.exists(os.path.join(args.image_dir, n)))
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(names))
+    n_val = int(round(len(names) * args.val_frac))
+    val_set = {names[i] for i in order[:n_val]}
+
+    img_out = os.path.join(args.out_dir, "images")
+    os.makedirs(img_out, exist_ok=True)
+    P = args.patch
+    coco = {s: {"images": [], "annotations": [],
+                "categories": [{"id": i, "name": f"xview_{i}"}
+                               for i in range(60)]}
+            for s in ("train", "val")}
+    ann_id = {"train": 0, "val": 0}
+    n_patches = 0
+    for name in names:
+        split = "val" if name in val_set else "train"
+        img = np.asarray(Image.open(
+            os.path.join(args.image_dir, name)).convert("RGB"))
+        H, W = img.shape[:2]
+        ph, pw = max(0, P - H), max(0, P - W)
+        if ph or pw:
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0)),
+                         constant_values=128)
+            H, W = img.shape[:2]
+        boxes = np.asarray([b for _, b in by_image[name]], np.float64)
+        labels = np.asarray([c for c, _ in by_image[name]], np.int64)
+        # clip to image (reference xyxy2xywhn(clip=True))
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, W - 1e-3)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, H - 1e-3)
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2
+        xs = np.linspace(0, W - P, int(np.ceil((W - P) / max(P - args.overlap, 1))) + 1,
+                         endpoint=True).astype(int) if W > P else [0]
+        ys = np.linspace(0, H - P, int(np.ceil((H - P) / max(P - args.overlap, 1))) + 1,
+                         endpoint=True).astype(int) if H > P else [0]
+        base = os.path.splitext(name)[0]
+        part = 0
+        for y0 in ys:
+            for x0 in xs:
+                x1e, y1e = x0 + P, y0 + P
+                keep = ((cx >= x0) & (cx < x1e) & (cy >= y0) & (cy < y1e))
+                if not keep.any():
+                    continue
+                pname = f"{base}_{part}.png"
+                Image.fromarray(img[y0:y1e, x0:x1e]).save(
+                    os.path.join(img_out, pname))
+                img_id = len(coco[split]["images"])
+                coco[split]["images"].append(
+                    {"id": img_id, "file_name": pname,
+                     "width": P, "height": P})
+                for b, c in zip(boxes[keep], labels[keep]):
+                    bx1 = max(b[0], x0) - x0
+                    by1 = max(b[1], y0) - y0
+                    bx2 = min(b[2], x1e - 1) - x0
+                    by2 = min(b[3], y1e - 1) - y0
+                    coco[split]["annotations"].append(
+                        {"id": ann_id[split], "image_id": img_id,
+                         "iscrowd": 0, "category_id": int(c),
+                         "bbox": [bx1, by1, bx2 - bx1, by2 - by1],
+                         "area": max(bx2 - bx1, 0) * max(by2 - by1, 0)})
+                    ann_id[split] += 1
+                part += 1
+                n_patches += 1
+    for split in ("train", "val"):
+        with open(os.path.join(args.out_dir, f"{split}.json"), "w") as f:
+            json.dump(coco[split], f)
+    print(f"wrote {n_patches} patches, "
+          f"{ann_id['train']}+{ann_id['val']} boxes "
+          f"({skipped} labels skipped) to {args.out_dir}")
+
+
+def _tif_geotransform(img):
+    """(origin_x, origin_y, scale_x, scale_y) from GeoTIFF tags
+    (ModelTiepoint 33922 + ModelPixelScale 33550), or None for plain images
+    — the pure-python stand-in for GDAL's GetGeoTransform."""
+    tags = getattr(img, "tag_v2", None)
+    if not tags or 33922 not in tags or 33550 not in tags:
+        return None
+    tie = [float(v) for v in tags[33922]]
+    scale = [float(v) for v in tags[33550]]
+    # tie: i, j, k, X, Y, Z (pixel (i,j) maps to world (X,Y))
+    i, j, X, Y = tie[0], tie[1], tie[3], tie[4]
+    sx, sy = scale[0], scale[1]
+    return (X - i * sx, Y + j * sy, sx, sy)
+
+
+def _rasterize_rings(rings, size, transform):
+    """Fill a polygon (exterior + hole rings, geojson winding) into a
+    uint8 mask — even-odd via draw-then-erase (GDAL RasterizeLayer burn)."""
+    from PIL import Image, ImageDraw
+    mask = Image.new("L", size, 0)
+    draw = ImageDraw.Draw(mask)
+    for ri, ring in enumerate(rings):
+        pts = []
+        for x, y in (p[:2] for p in ring):
+            if transform is not None:
+                ox, oy, sx, sy = transform
+                x, y = (x - ox) / sx, (oy - y) / sy
+            pts.append((x, y))
+        if len(pts) >= 3:
+            draw.polygon(pts, fill=0 if ri else 255)
+    return mask
+
+
+def spacenet_masks(args):
+    """SpaceNet building-footprint geojson → binary segmentation masks
+    (reference scripts/process_spacenet.py, GDAL-free: GeoTIFF tie-point/
+    pixel-scale tags give the geo→pixel transform; plain images take the
+    coordinates as pixels).  Output PNGs burn buildings to 255."""
+    from PIL import Image
+    import numpy as np
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for f in sorted(os.listdir(args.geojson_dir)):
+        if not f.endswith(".geojson"):
+            continue
+        stem = os.path.splitext(f)[0]
+        # Geo_AOI_1_RIO_img42 → 3band_AOI_1_RIO_img42.tif (reference naming)
+        img_stem = stem.replace(args.vector_prefix, args.raster_prefix) \
+            if args.vector_prefix else stem
+        img_path = None
+        for ext in (".tif", ".tiff", ".png", ".jpg"):
+            p = os.path.join(args.image_dir, img_stem + ext)
+            if os.path.exists(p):
+                img_path = p
+                break
+        if img_path is None:
+            continue
+        with Image.open(img_path) as im:
+            size = im.size
+            transform = _tif_geotransform(im)
+        with open(os.path.join(args.geojson_dir, f)) as fh:
+            gj = json.load(fh)
+        out = np.zeros(size[::-1], np.uint8)
+        for feat in gj.get("features", []):
+            geom = feat.get("geometry") or {}
+            if geom.get("type") == "Polygon":
+                polys = [geom["coordinates"]]
+            elif geom.get("type") == "MultiPolygon":
+                polys = geom["coordinates"]
+            else:
+                continue
+            for rings in polys:
+                m = np.asarray(_rasterize_rings(rings, size, transform))
+                out = np.maximum(out, m)
+        Image.fromarray(out).save(
+            os.path.join(args.out_dir, img_stem + ".png"))
+        n += 1
+    print(f"wrote {n} masks to {args.out_dir}")
+
+
 def geojson_to_coco(args):
     """xView-style geojson feature collection → COCO json (the label-
     conversion half of the reference prepare_xview_dataset.py; expects
@@ -325,6 +517,25 @@ def main(argv=None):
                    help="comma list of resize rates for multi-scale splits "
                         "(e.g. 0.5,1.0,1.5)")
     s.set_defaults(fn=tile_images)
+
+    s = sub.add_parser("xview-prepare")
+    s.add_argument("--geojson", required=True)
+    s.add_argument("--image-dir", required=True)
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--patch", type=int, default=416)
+    s.add_argument("--overlap", type=int, default=0)
+    s.add_argument("--val-frac", type=float, default=0.1)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=xview_prepare)
+
+    s = sub.add_parser("spacenet-masks")
+    s.add_argument("--geojson-dir", required=True)
+    s.add_argument("--image-dir", required=True)
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--vector-prefix", default="Geo_",
+                   help="geojson filename prefix replaced by --raster-prefix")
+    s.add_argument("--raster-prefix", default="3band_")
+    s.set_defaults(fn=spacenet_masks)
 
     s = sub.add_parser("geojson-to-coco")
     s.add_argument("--geojson", required=True)
