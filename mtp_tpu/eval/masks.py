@@ -13,6 +13,40 @@ from typing import Optional
 import numpy as np
 
 
+def crop_masks_to_boxes(masks: np.ndarray, boxes: np.ndarray,
+                        size: int) -> np.ndarray:
+    """Inverse of paste_masks: resample each full-res (H, W) instance mask
+    over its box extent onto a (size, size) grid (bilinear at output-pixel
+    centers, zeros outside the image).
+
+    An instance mask is zero outside its own bbox, so the box-aligned crop
+    is a lossless re-parameterization up to grid resolution — the source
+    for device-side mask targets (reference mask_target crops the full-res
+    gt mask per proposal; a stride-4 decimated map aliases thin objects)."""
+    N = len(masks)
+    out = np.zeros((N, size, size), np.float32)
+    for i in range(N):
+        M = np.asarray(masks[i], np.float32)
+        H, W = M.shape
+        x1, y1, x2, y2 = [float(v) for v in boxes[i][:4]]
+        xs = x1 + (np.arange(size) + 0.5) / size * (x2 - x1) - 0.5
+        ys = y1 + (np.arange(size) + 0.5) / size * (y2 - y1) - 0.5
+        x0 = np.floor(xs).astype(np.int64)
+        y0 = np.floor(ys).astype(np.int64)
+        fx = xs - x0
+        fy = ys - y0
+
+        def take(yy, xx):
+            v = ((yy >= 0) & (yy < H))[:, None] & ((xx >= 0) & (xx < W))[None, :]
+            return M[yy.clip(0, H - 1)[:, None],
+                     xx.clip(0, W - 1)[None, :]] * v
+
+        top = take(y0, x0) * (1 - fx)[None, :] + take(y0, x0 + 1) * fx[None, :]
+        bot = take(y0 + 1, x0) * (1 - fx)[None, :] + take(y0 + 1, x0 + 1) * fx[None, :]
+        out[i] = top * (1 - fy)[:, None] + bot * fy[:, None]
+    return out
+
+
 def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, height: int,
                 width: int, thr: float = 0.5) -> np.ndarray:
     """mask_probs (N, m, m) in [0,1]; boxes (N, 4) x1y1x2y2 →

@@ -59,6 +59,32 @@ class Detections(NamedTuple):
     mask_logits: Optional[Array] = None  # (B, N, m, m) gt-class channel
 
 
+def mask_targets_from_crops(crops: Array, gt_boxes: Array, flat_rois: Array,
+                            flat_gt: Array, m: int) -> Array:
+    """(m, m) mask targets for each roi from its assigned gt's box-aligned
+    crop.  crops (B, G, C, C); gt_boxes (B, G, 4); flat_rois (N, 4) in image
+    coords; flat_gt (N,) absolute b*G+g index.  Sample points outside the
+    gt box read 0 (an instance mask vanishes outside its own bbox)."""
+    from mtp_tpu.ops.grid_sample import grid_sample
+
+    B, G, C, _ = crops.shape
+    N = flat_rois.shape[0]
+    src = crops.reshape(B * G, C, C, 1)[flat_gt]
+    gb = gt_boxes.reshape(B * G, 4)[flat_gt]
+    x1, y1, x2, y2 = jnp.moveaxis(gb, -1, 0)
+    t = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+    sx = flat_rois[:, 0:1] + t[None, :] * (flat_rois[:, 2:3] - flat_rois[:, 0:1])
+    sy = flat_rois[:, 1:2] + t[None, :] * (flat_rois[:, 3:4] - flat_rois[:, 1:2])
+    # box-relative [0,1] ↔ crop extent edge-to-edge ↔ [-1,1] normalized
+    # under align_corners=False
+    gx = 2.0 * (sx - x1[:, None]) / jnp.maximum(x2 - x1, 1e-6)[:, None] - 1.0
+    gy = 2.0 * (sy - y1[:, None]) / jnp.maximum(y2 - y1, 1e-6)[:, None] - 1.0
+    grid = jnp.stack([jnp.broadcast_to(gx[:, None, :], (N, m, m)),
+                      jnp.broadcast_to(gy[:, :, None], (N, m, m))], -1)
+    out = grid_sample(src, grid, align_corners=False, padding_mode="zeros")
+    return out[..., 0]
+
+
 def detection_loss(model: TwoStageDetector, variables, batch: Dict[str, Array],
                    rng: Array, anchors: np.ndarray) -> Tuple[Array, Dict[str, Array]]:
     """Single-task wrapper around `det_loss_core` using the detector's inline
@@ -166,19 +192,31 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
     # ---------------- mask branch ----------------
     if det.with_mask and mask_fn is not None:
         mask_logits = mask_fn(flat_rois, batch_idx)
-        # targets: RoIAlign the assigned instance's stride-4 binary mask
-        gm = batch["gt_masks"]  # (B, G, H/4, W/4)
-        G = gm.shape[1]
-        flat_gt = flat_sample.gt_inds + batch_idx * G
-        mask_imgs = gm.reshape(B * G, gm.shape[2], gm.shape[3], 1)
         m = det.mask_size
-        if det.rotated:
-            tgt_masks = roi_align_rotated(mask_imgs, flat_rois, flat_gt,
-                                          m, 0.25, clockwise=True)
+        if not det.rotated and "gt_mask_crops" in batch:
+            # targets from per-gt box-aligned full-res crops (reference
+            # mask_target semantics: crop the FULL-RES gt mask at the
+            # proposal box; an instance mask is zero outside its own bbox,
+            # so sampling the crop is exact up to grid resolution)
+            crops = batch["gt_mask_crops"]  # (B, G, C, C)
+            G = crops.shape[1]
+            flat_gt = flat_sample.gt_inds + batch_idx * G
+            tgt = mask_targets_from_crops(
+                crops, batch["gt_boxes"], flat_rois, flat_gt, m)
+            losses.update(mask_head_loss(mask_logits, tgt, flat_sample))
         else:
-            tgt_masks = roi_align(mask_imgs, flat_rois, flat_gt, m, 0.25)
-        losses.update(mask_head_loss(mask_logits, tgt_masks[..., 0],
-                                     flat_sample))
+            # legacy: RoIAlign the assigned instance's stride-4 binary mask
+            gm = batch["gt_masks"]  # (B, G, H/4, W/4)
+            G = gm.shape[1]
+            flat_gt = flat_sample.gt_inds + batch_idx * G
+            mask_imgs = gm.reshape(B * G, gm.shape[2], gm.shape[3], 1)
+            if det.rotated:
+                tgt_masks = roi_align_rotated(mask_imgs, flat_rois, flat_gt,
+                                              m, 0.25, clockwise=True)
+            else:
+                tgt_masks = roi_align(mask_imgs, flat_rois, flat_gt, m, 0.25)
+            losses.update(mask_head_loss(mask_logits, tgt_masks[..., 0],
+                                         flat_sample))
 
     total = sum(v for k, v in losses.items() if k.startswith("loss"))
     metrics = {k: v for k, v in losses.items()}

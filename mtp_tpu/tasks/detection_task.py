@@ -151,17 +151,22 @@ class DetectionTask:
                     "gt_labels": np.asarray(batch["gt_labels"][i])[gv],
                 }
                 if with_mask and dets.mask_logits is not None \
-                        and "gt_masks" in batch:
+                        and ("gt_masks" in batch or "gt_mask_crops" in batch):
                     probs = 1.0 / (1.0 + np.exp(
                         -np.asarray(dets.mask_logits[i])[v]))
                     rec["det_masks"] = paste_masks(probs, rec["det_boxes"],
                                                    H, W)
-                    gm = np.asarray(batch["gt_masks"][i])[gv]
-                    # gt masks arrive at the pipeline's stride (H/s, W/s);
-                    # upsample to image resolution for mask IoU
-                    if gm.shape[1:] != (H, W):
-                        ry, rx = H // gm.shape[1], W // gm.shape[2]
-                        gm = np.repeat(np.repeat(gm, ry, 1), rx, 2)
+                    if "gt_mask_crops" in batch:
+                        # box-aligned crops paste back exactly
+                        gm = paste_masks(
+                            np.asarray(batch["gt_mask_crops"][i])[gv],
+                            rec["gt_boxes"], H, W)
+                    else:
+                        gm = np.asarray(batch["gt_masks"][i])[gv]
+                        # stride-s map → upsample to image resolution
+                        if gm.ndim == 3 and gm.shape[1:] != (H, W):
+                            ry, rx = H // gm.shape[1], W // gm.shape[2]
+                            gm = np.repeat(np.repeat(gm, ry, 1), rx, 2)
                     rec["gt_masks"] = (gm > 0.5).astype(np.uint8)
                 per_image.append(rec)
         if coco and not self.rotated:

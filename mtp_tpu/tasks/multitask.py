@@ -169,16 +169,22 @@ class MultiTaskPretrainTask:
                         unpad(det_h, i),
                         gt_boxes=np.asarray(bd["gt_boxes"][i])[gv],
                         gt_labels=np.asarray(bd["gt_labels"][i])[gv])
-                    if det_h.mask_logits is not None and "gt_masks" in bd:
+                    if det_h.mask_logits is not None and \
+                            ("gt_masks" in bd or "gt_mask_crops" in bd):
                         v = np.asarray(det_h.valid[i])
                         probs = 1.0 / (1.0 + np.exp(
                             -np.asarray(det_h.mask_logits[i])[v]))
                         rec["det_masks"] = paste_masks(
                             probs, rec["det_boxes"], H, W)
-                        gm = np.asarray(bd["gt_masks"][i])[gv]
-                        if gm.shape[1:] != (H, W):
-                            ry, rx = H // gm.shape[1], W // gm.shape[2]
-                            gm = np.repeat(np.repeat(gm, ry, 1), rx, 2)
+                        if "gt_mask_crops" in bd:
+                            gm = paste_masks(
+                                np.asarray(bd["gt_mask_crops"][i])[gv],
+                                rec["gt_boxes"], H, W)
+                        else:
+                            gm = np.asarray(bd["gt_masks"][i])[gv]
+                            if gm.shape[1:] != (H, W):
+                                ry, rx = H // gm.shape[1], W // gm.shape[2]
+                                gm = np.repeat(np.repeat(gm, ry, 1), rx, 2)
                         rec["gt_masks"] = (gm > 0.5).astype(np.uint8)
                     det_h_imgs[d].append(rec)
                     rv = np.asarray(bd["r_gt_valid"][i])

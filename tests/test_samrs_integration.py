@@ -77,7 +77,8 @@ def test_samrs_path_to_train_step(tmp_path):
                                                          mask_stride=4))
     batch_d = next(iter(loader.epoch(0)))
     assert batch_d["image"].shape == (2, 32, 32, 3)
-    assert batch_d["gt_masks"].shape == (2, 4, 8, 8)
+    # masks collate as box-aligned full-res crops (mask-target fidelity)
+    assert batch_d["gt_mask_crops"].shape == (2, 4, 56, 56)
     assert batch_d["r_gt_boxes"].shape == (2, 4, 5)
 
     # one real multitask step over the on-disk data (same batch for all 3
