@@ -158,6 +158,8 @@ def main(argv=None):
                         "layouts: DATASETS.md / mtp_tpu/data/bindings.py)")
     p.add_argument("--max-gts", type=int, default=100,
                    help="fixed-shape padding cap for gt instances per image")
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="fork-based decode worker processes per loader")
     p.add_argument("--eval-after", action="store_true",
                    help="run validation on the val/test split after training")
     p.add_argument("--log-every", type=int, default=50)
@@ -239,7 +241,8 @@ def main(argv=None):
     elif args.data_root:
         from mtp_tpu.data.bindings import build_train_data
         data, info = build_train_data(recipe, cfg, args.data_root,
-                                      batch_size, max_gts=args.max_gts)
+                                      batch_size, max_gts=args.max_gts,
+                                      num_workers=args.num_workers)
         logger.info("real data from %s: %s", args.data_root, info)
     else:
         raise SystemExit(

@@ -181,7 +181,8 @@ _SAMRS = (("sota", SOTA_CLASSES), ("sior", SIOR_CLASSES),
 
 def build_samrs_loaders(data_root: str, img_size: int, batch_size: int,
                         split: str = "train", train: bool = True,
-                        max_gts: int = 100, alloc: str = "ratio"):
+                        max_gts: int = 100, alloc: str = "ratio",
+                        num_workers: int = 0):
     """The 3 SAMRS per-dataset loaders + per-dataset batch sizes (reference
     main_pretrain.py batch allocation)."""
     from mtp_tpu.tasks.multitask import allocate_batch_sizes
@@ -209,7 +210,7 @@ def build_samrs_loaders(data_root: str, img_size: int, batch_size: int,
     sizes = allocate_batch_sizes(batch_size, [len(d) for d in datasets],
                                  mode=alloc)
     loaders = [Loader(d, bs, lambda ss: collate_multitask(ss, max_gts),
-                      shuffle=train)
+                      shuffle=train, num_workers=num_workers)
                for d, bs in zip(datasets, sizes)]
     return datasets, loaders, sizes
 
@@ -223,11 +224,12 @@ def samrs_iterator(loaders) -> Iterator[Dict[str, Dict[str, np.ndarray]]]:
 
 
 def build_train_data(recipe, cfg, data_root: str, batch_size: int,
-                     max_gts: int = 100):
+                     max_gts: int = 100, num_workers: int = 0):
     """(forever-iterator, info dict) for the CLI train loop."""
     if cfg.task == "multitask":
         datasets, loaders, sizes = build_samrs_loaders(
-            data_root, cfg.backbone.img_size, batch_size, max_gts=max_gts)
+            data_root, cfg.backbone.img_size, batch_size, max_gts=max_gts,
+            num_workers=num_workers)
         info = {"datasets": [len(d) for d in datasets],
                 "batch_sizes": list(sizes)}
         return samrs_iterator(loaders), info
@@ -238,7 +240,8 @@ def build_train_data(recipe, cfg, data_root: str, batch_size: int,
             f"no train split for {recipe.dataset!r} under {data_root} "
             "(expected layout: see DATASETS.md / data/bindings.py)")
     ds, collate = built
-    loader = Loader(ds, batch_size, collate, shuffle=True)
+    loader = Loader(ds, batch_size, collate, shuffle=True,
+                    num_workers=num_workers)
     return loader.forever(), {"dataset": len(ds)}
 
 

@@ -108,14 +108,33 @@ def collate_multitask(samples: Sequence[Sample], max_gts: int,
     }
 
 
+def _mp_worker(dataset, collate, order, batch_size, nb, wid, nw, q):
+    """One fork worker: builds every nw-th batch and ships it pickled.
+    A trailing None marks end-of-stream; errors ship as a tagged tuple."""
+    try:
+        for b in range(wid, nb, nw):
+            idxs = order[b * batch_size:(b + 1) * batch_size]
+            q.put(collate([dataset[int(i)] for i in idxs]))
+        q.put(None)
+    except Exception as e:  # surface worker crashes to the consumer
+        q.put(("__loader_error__", repr(e)))
+
+
 class Loader:
-    """Minimal epoch loader: dataset with __len__/__getitem__ returning a
-    Sample (already transformed), collated to fixed shapes, prefetched on a
-    background thread."""
+    """Epoch loader: dataset with __len__/__getitem__ returning a Sample
+    (already transformed), collated to fixed shapes.
+
+    num_workers=0 (default): one background prefetch thread — enough for
+    bench/tests.  num_workers>0: fork-based worker PROCESSES, each decoding
+    + augmenting + collating every num_workers-th batch, consumed
+    round-robin so batch order stays deterministic — the multi-process
+    decode-ahead path for real multi-dataset pretraining (the reference ran
+    parsing/augmentation in the training process, its known CPU bottleneck,
+    SURVEY §3.5)."""
 
     def __init__(self, dataset, batch_size: int, collate: Callable,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -123,17 +142,25 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def _order(self, epoch_idx: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed + epoch_idx)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
+        return order
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers > 0:
+            yield from self._epoch_mp(epoch_idx)
+            return
+        order = self._order(epoch_idx)
         nb = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -159,6 +186,36 @@ class Loader:
                 yield item
         finally:
             stop.set()
+
+    def _epoch_mp(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        order = self._order(epoch_idx)
+        nb = len(self)
+        nw = min(self.num_workers, max(nb, 1))
+        queues = [ctx.Queue(maxsize=max(self.prefetch, 1)) for _ in range(nw)]
+        procs = [
+            ctx.Process(target=_mp_worker,
+                        args=(self.dataset, self.collate, order,
+                              self.batch_size, nb, w, nw, queues[w]),
+                        daemon=True)
+            for w in range(nw)]
+        for p in procs:
+            p.start()
+        try:
+            for b in range(nb):
+                item = queues[b % nw].get()
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] == "__loader_error__":
+                    raise RuntimeError(f"loader worker failed: {item[1]}")
+                yield item
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5)
 
     def forever(self) -> Iterator[Dict[str, np.ndarray]]:
         e = 0

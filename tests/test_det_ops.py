@@ -259,3 +259,37 @@ def test_batched_nms_rotated_no_cross_class_overlap():
     _, s_neg = batched_nms(boxes, scores, jnp.asarray([0, 1]), 0.1, 2,
                            iou_fn=iou_fn)
     assert (np.asarray(s_neg) > NEG_INF / 2).sum() == 2  # both kept
+
+
+def test_blocked_nms_matches_sequential_greedy():
+    """The blocked nms_mask is an exact reformulation of sequential greedy
+    NMS — compare against a numpy reference on random inputs, including
+    padding and n not a multiple of the block size."""
+    from mtp_tpu.ops.nms import nms_mask, NEG_INF
+    from mtp_tpu.ops.boxes import bbox_overlaps
+
+    rng = np.random.default_rng(0)
+    for n, blk in ((37, 8), (100, 16), (200, 128)):
+        xy = rng.uniform(0, 80, (n, 2)).astype(np.float32)
+        wh = rng.uniform(5, 40, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + wh], -1)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        scores[-5:] = NEG_INF  # padding
+        ious = np.asarray(bbox_overlaps(jnp.asarray(boxes),
+                                        jnp.asarray(boxes)))
+
+        # numpy sequential greedy
+        order = np.argsort(-scores)
+        alive = np.ones(n, bool)
+        keep_ref = np.zeros(n, bool)
+        for oi in order:
+            if scores[oi] <= NEG_INF / 2 or not alive[oi]:
+                continue
+            keep_ref[oi] = True
+            sup = ious[oi] > 0.5
+            lower = scores < scores[oi]
+            alive &= ~(sup & lower)
+
+        got = np.asarray(nms_mask(jnp.asarray(ious), jnp.asarray(scores),
+                                  0.5, block=blk))
+        np.testing.assert_array_equal(got, keep_ref, err_msg=f"n={n} blk={blk}")

@@ -73,3 +73,52 @@ def test_cd_pipeline_geometry_aligned():
     # same geometric transform on both: normalized images should still be
     # equal (photometric jitter differs, so compare structure via argmax row)
     assert out["image_a"].shape == out["image_b"].shape
+
+
+def test_loader_multiprocess_matches_single():
+    """num_workers>0 forks decode workers; round-robin consumption keeps
+    batch order identical to the in-process path."""
+    import numpy as np
+    from mtp_tpu.data.loader import Loader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {"image": r.standard_normal((8, 8, 3)).astype(np.float32),
+                    "cls_label": np.int32(i % 3)}
+
+    def collate(samples):
+        return {"image": np.stack([s["image"] for s in samples]),
+                "label": np.asarray([s["cls_label"] for s in samples])}
+
+    l0 = Loader(DS(), 2, collate, shuffle=True, seed=7, num_workers=0)
+    l2 = Loader(DS(), 2, collate, shuffle=True, seed=7, num_workers=2)
+    b0 = list(l0.epoch(0))
+    b2 = list(l2.epoch(0))
+    assert len(b0) == len(b2) == 5
+    for a, b in zip(b0, b2):
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_allclose(a["image"], b["image"])
+
+
+def test_loader_multiprocess_error_propagates():
+    import numpy as np
+    import pytest
+    from mtp_tpu.data.loader import Loader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("boom")
+            return {"image": np.zeros((4, 4, 3), np.float32)}
+
+    loader = Loader(Bad(), 2, lambda ss: {"n": len(ss)}, shuffle=False,
+                    num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader.epoch(0))
