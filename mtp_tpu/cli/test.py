@@ -1,9 +1,11 @@
 """Evaluation CLI: `python -m mtp_tpu.cli.test <recipe> --ckpt ... [--save-pred dir]`.
 
 Replaces the reference's per-suite `tools/test.py <config> <ckpt>` drivers:
-runs the recipe's eval protocol (top-k / mIoU with slide / F1 / mAP) on a
-dataset or on synthetic smoke data, optionally saving prediction
-visualizations (the reference's Seg/Det/CDVisualizationHook capability).
+runs the recipe's eval protocol (top-k / mIoU with slide / F1 / mAP, incl.
+segm mAP for mask recipes) on a real dataset (--data-root) or synthetic
+smoke data, optionally saving prediction visualizations — the reference's
+SegVisualizationHook / DetVisualizationHook / CDVisualizationHook
+capability (segmentation PNGs and box overlays).
 """
 
 from __future__ import annotations
@@ -17,12 +19,46 @@ import sys
 import numpy as np
 
 
+def _palette(n: int) -> np.ndarray:
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 255, (max(n, 2), 3), dtype=np.uint8)
+
+
 def save_seg_pred(path: str, pred: np.ndarray, num_classes: int):
     from PIL import Image
-    # fixed palette (deterministic per class id)
-    rng = np.random.default_rng(42)
-    palette = rng.integers(0, 255, (max(num_classes, 2), 3), dtype=np.uint8)
+    palette = _palette(num_classes)
     Image.fromarray(palette[pred.astype(np.int64) % len(palette)]).save(path)
+
+
+def save_det_pred(path: str, image: np.ndarray, boxes: np.ndarray,
+                  scores: np.ndarray, labels: np.ndarray,
+                  rotated: bool = False, score_thr: float = 0.3,
+                  num_classes: int = 80):
+    """Box-overlay visualization (reference DetVisualizationHook): draws
+    horizontal rectangles or rotated polygons colored per class."""
+    from PIL import Image, ImageDraw
+    img = np.clip(image, 0, 255).astype(np.uint8) if image.max() > 2 else \
+        np.clip((image - image.min()) / max(image.ptp(), 1e-6) * 255,
+                0, 255).astype(np.uint8)
+    pil = Image.fromarray(img)
+    draw = ImageDraw.Draw(pil)
+    palette = _palette(num_classes)
+    for b, s, l in zip(boxes, scores, labels):
+        if s < score_thr:
+            continue
+        color = tuple(int(c) for c in palette[int(l) % len(palette)])
+        if rotated:
+            from mtp_tpu.eval.det_map import rbox_to_quad_np
+            q = rbox_to_quad_np(np.asarray(b, np.float32)[None])[0]
+            draw.polygon([(q[0], q[1]), (q[2], q[3]), (q[4], q[5]),
+                          (q[6], q[7])], outline=color, width=2)
+            tx, ty = float(q[0]), float(q[1])
+        else:
+            draw.rectangle([float(b[0]), float(b[1]), float(b[2]),
+                            float(b[3])], outline=color, width=2)
+            tx, ty = float(b[0]), float(b[1])
+        draw.text((tx, max(ty - 10, 0)), f"{int(l)}:{s:.2f}", fill=color)
+    pil.save(path)
 
 
 def main(argv=None):
@@ -31,7 +67,16 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None, help="orbax dir or encoder .npz")
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data-root", default=None,
+                   help="evaluate the recipe's val/test split on disk "
+                        "(layouts: DATASETS.md)")
+    p.add_argument("--split", default="val")
     p.add_argument("--batches", type=int, default=2)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--img-size", type=int, default=None,
+                   help="override backbone image size (smoke runs)")
+    p.add_argument("--max-gts", type=int, default=100)
+    p.add_argument("--score-thr", type=float, default=0.3)
     p.add_argument("--save-pred", default=None,
                    help="directory for prediction visualizations")
     args = p.parse_args(argv)
@@ -41,7 +86,17 @@ def main(argv=None):
     from mtp_tpu.cli.train import build_task, synthetic_data
 
     recipe = configs.get(args.recipe)
+    if args.img_size:
+        rcfg = recipe.task
+        rcfg = dataclasses.replace(rcfg, backbone=dataclasses.replace(
+            rcfg.backbone, img_size=args.img_size))
+        if rcfg.slide is not None and rcfg.slide.crop > args.img_size:
+            from mtp_tpu.utils.config import SlideConfig
+            rcfg = dataclasses.replace(rcfg, slide=SlideConfig(
+                crop=args.img_size, stride=max(args.img_size // 2, 1)))
+        recipe = dataclasses.replace(recipe, task=rcfg)
     task, cfg = build_task(recipe, args.mesh_data, 1)
+    batch_size = args.batch_size or cfg.train.batch_size
 
     pretrained = None
     if args.ckpt and args.ckpt.endswith(".npz"):
@@ -56,25 +111,55 @@ def main(argv=None):
         if restored is not None:
             state = restored
 
-    if not args.synthetic:
-        raise SystemExit("dataset paths are site-specific; use --synthetic "
-                         "or the task API")
-    gen = synthetic_data(cfg, cfg.train.batch_size)
-    batches = [next(gen) for _ in range(args.batches)]
-    res = task.evaluate(state, iter(batches))
+    if args.synthetic:
+        gen = synthetic_data(cfg, batch_size)
+        batches = [next(gen) for _ in range(args.batches)]
+    elif args.data_root:
+        from mtp_tpu.data.bindings import build_eval_data
+        it = build_eval_data(recipe, cfg, args.data_root, batch_size,
+                             max_gts=args.max_gts, split=args.split)
+        if it is None:
+            raise SystemExit(f"no {args.split}/test split under "
+                             f"{args.data_root}")
+        batches = list(it)
+    else:
+        raise SystemExit("pass --data-root <dir> or --synthetic")
 
-    if args.save_pred and cfg.task in ("segmentation", "change_detection"):
+    kw = {"coco": True} if cfg.task == "instseg" else {}
+    res = task.evaluate(state, iter(batches), **kw)
+
+    if args.save_pred:
         os.makedirs(args.save_pred, exist_ok=True)
-        predict = getattr(task, "predict_fn", None)
-        if predict is not None:
-            fn = predict()
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            pred = np.asarray(fn(variables, batches[0]["image"]))
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if cfg.task in ("segmentation", "change_detection"):
+            import jax.numpy as jnp
+            fn = task.predict_fn()
+            if cfg.task == "change_detection":
+                pred = np.asarray(fn(variables,
+                                     jnp.asarray(batches[0]["image_a"]),
+                                     jnp.asarray(batches[0]["image_b"])))
+            else:
+                pred = np.asarray(fn(variables, batches[0]["image"]))
             for i in range(min(4, len(pred))):
-                save_seg_pred(os.path.join(args.save_pred, f"pred_{i}.png"),
-                              pred[i], cfg.num_classes)
+                save_seg_pred(
+                    os.path.join(args.save_pred, f"pred_{i}.png"),
+                    pred[i], cfg.num_classes)
+        elif cfg.task in ("detection_h", "detection_r", "instseg"):
+            fn = task.predict_fn()
+            dets = fn(state.params, batches[0]["image"])
+            rotated = cfg.task == "detection_r"
+            for i in range(min(4, len(batches[0]["image"]))):
+                v = np.asarray(dets.valid[i])
+                save_det_pred(
+                    os.path.join(args.save_pred, f"pred_{i}.png"),
+                    np.asarray(batches[0]["image"][i]),
+                    np.asarray(dets.boxes[i])[v],
+                    np.asarray(dets.scores[i])[v],
+                    np.asarray(dets.labels[i])[v],
+                    rotated=rotated, score_thr=args.score_thr,
+                    num_classes=cfg.num_classes)
 
     print(json.dumps({"recipe": recipe.name,
                       "results": {k: (round(v, 4) if isinstance(v, float) else v)

@@ -59,10 +59,15 @@ class BBoxHead(nn.Module):
 
 
 class FCNMaskTrunk(nn.Module):
-    """4x conv3x3 + 2x deconv upsample (final 1x1 logits external or inline)."""
+    """4x conv3x3 + 2x upsample (final 1x1 logits external or inline).
+
+    upsample: 'deconv' (reference default) | 'carafe' (mmcv CARAFEPack
+    option of the reference FCNMaskHead, mask_head.py:10,99) | 'nearest' |
+    'bilinear'."""
 
     conv_out: int = 256
     num_convs: int = 4
+    upsample: str = "deconv"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -71,8 +76,23 @@ class FCNMaskTrunk(nn.Module):
         for i in range(self.num_convs):
             x = nn.relu(nn.Conv(self.conv_out, (3, 3), padding=1,
                                 dtype=self.dtype, name=f"conv_{i}")(x))
-        x = nn.relu(nn.ConvTranspose(self.conv_out, (2, 2), strides=(2, 2),
-                                     dtype=self.dtype, name="upsample")(x))
+        if self.upsample == "deconv":
+            x = nn.relu(nn.ConvTranspose(self.conv_out, (2, 2),
+                                         strides=(2, 2), dtype=self.dtype,
+                                         name="upsample")(x))
+        elif self.upsample == "carafe":
+            from mtp_tpu.ops.carafe import CARAFEPack
+            x = nn.relu(CARAFEPack(scale=2, dtype=self.dtype,
+                                   name="upsample_carafe")(x))
+        elif self.upsample in ("nearest", "bilinear"):
+            B, H, W, C = x.shape
+            if self.upsample == "nearest":
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            else:
+                import jax.image
+                x = jax.image.resize(x, (B, H * 2, W * 2, C), "bilinear")
+        else:
+            raise ValueError(f"unknown upsample {self.upsample!r}")
         return x
 
 

@@ -80,6 +80,7 @@ class DetConfig:
     roi_size: int = 7
     mask_roi_size: int = 14
     mask_size: int = 28
+    mask_upsample: str = "deconv"  # deconv | carafe | nearest | bilinear
     fpn_strides: Tuple[int, ...] = (4, 8, 16, 32)
     # max gts per image after padding
     max_gts: int = 100
@@ -120,7 +121,9 @@ class TwoStageDetector(nn.Module):
                                name="fc_cls")
         self.fc_reg = nn.Dense(reg_out, dtype=jnp.float32, name="fc_reg")
         if d.with_mask:
-            self.mask_trunk = FCNMaskTrunk(256, dtype=dtype, name="mask_trunk")
+            self.mask_trunk = FCNMaskTrunk(
+                256, upsample=d.mask_upsample, dtype=dtype,
+                name="mask_trunk")
             self.conv_logits = nn.Conv(d.num_classes, (1, 1),
                                        dtype=jnp.float32, name="conv_logits")
 

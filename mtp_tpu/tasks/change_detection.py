@@ -95,8 +95,8 @@ class ChangeDetectionTask:
         return fit_loop(self, state, data, steps, log_every=log_every,
                         log_fn=log_fn, **ckpt_kw)
 
-    def evaluate(self, state: TrainState,
-                 data: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:
+    def predict_fn(self):
+        """Jitted (variables, image_a, image_b) → per-pixel change map."""
         model = self.model
 
         @jax.jit
@@ -104,6 +104,12 @@ class ChangeDetectionTask:
             logits = model.apply(variables, a, b, train=False,
                                  deterministic=True)
             return resize_bilinear(logits, a.shape[1:3]).argmax(-1)
+
+        return predict
+
+    def evaluate(self, state: TrainState,
+                 data: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:
+        predict = self.predict_fn()
 
         variables = {"params": state.params}
         if state.batch_stats:

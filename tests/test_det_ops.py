@@ -293,3 +293,47 @@ def test_blocked_nms_matches_sequential_greedy():
         got = np.asarray(nms_mask(jnp.asarray(ious), jnp.asarray(scores),
                                   0.5, block=blk))
         np.testing.assert_array_equal(got, keep_ref, err_msg=f"n={n} blk={blk}")
+
+
+def test_carafe_reassembly():
+    """CARAFE semantics: uniform kernels = nearest-upsampled k×k box mean;
+    a one-hot center kernel = exact nearest upsample."""
+    from mtp_tpu.ops.carafe import carafe_reassemble, CARAFEPack
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 3)).astype(np.float32))
+    k, s = 3, 2
+    B, H, W, C = x.shape
+
+    # one-hot kernel at the patch center == nearest upsample
+    m = np.zeros((1, H * s, W * s, k * k), np.float32)
+    m[..., (k * k) // 2] = 1.0
+    out = np.asarray(carafe_reassemble(x, jnp.asarray(m), kernel=k, scale=s))
+    want = np.repeat(np.repeat(np.asarray(x), s, 1), s, 2)
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+    # uniform kernel == box mean with zero padding
+    m = np.full((1, H * s, W * s, k * k), 1.0 / (k * k), np.float32)
+    out = np.asarray(carafe_reassemble(x, jnp.asarray(m), kernel=k, scale=s))
+    xp = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    want_src = sum(xp[:, dy:dy + H, dx:dx + W] for dy in range(3)
+                   for dx in range(3)) / 9.0
+    want = np.repeat(np.repeat(want_src, s, 1), s, 2)
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+    # the full pack initializes and upsamples 2x
+    pack = CARAFEPack(scale=2)
+    params = pack.init(jax.random.PRNGKey(0), x)
+    y = pack.apply(params, x)
+    assert y.shape == (1, 8, 8, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_mask_trunk_carafe_option():
+    from mtp_tpu.heads.roi_heads import FCNMaskTrunk
+    x = jnp.zeros((2, 14, 14, 8))
+    for up in ("deconv", "carafe", "nearest", "bilinear"):
+        trunk = FCNMaskTrunk(16, upsample=up)
+        params = trunk.init(jax.random.PRNGKey(0), x)
+        y = trunk.apply(params, x)
+        assert y.shape == (2, 28, 28, 16), up
