@@ -214,6 +214,68 @@ def load_torch_checkpoint(path: str) -> Dict[str, "np.ndarray"]:
     return unwrap_checkpoint(ckpt)
 
 
+def convert_internimage(state_dict: Dict[str, "np.ndarray"],
+                        depths: Tuple[int, ...]) -> dict:
+    """Reference InternImage state_dict → flax param tree
+    (models/internimage.py naming).  Key families (intern_image.py):
+    patch_embed.conv{1,2}/norm{1,2}, levels.{s}.blocks.{i}.{gamma1,gamma2,
+    norm1.0,norm2.0,dcn.*,mlp.*}, levels.{s}.norm.0 (pre-norm variants),
+    levels.{s}.downsample.{conv,norm.1}."""
+    sd = strip_prefixes(state_dict)
+    params: dict = {}
+
+    def put(path: str, val: np.ndarray):
+        node = params
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(val)
+
+    def conv(src: str, dst: str):
+        put(dst + "/kernel", sd[src + ".weight"].transpose(2, 3, 1, 0))
+        if src + ".bias" in sd:
+            put(dst + "/bias", sd[src + ".bias"])
+
+    def dense(src: str, dst: str):
+        put(dst + "/kernel", sd[src + ".weight"].T)
+        if src + ".bias" in sd:
+            put(dst + "/bias", sd[src + ".bias"])
+
+    def norm(src: str, dst: str):
+        put(dst + "/scale", sd[src + ".weight"])
+        put(dst + "/bias", sd[src + ".bias"])
+
+    conv("patch_embed.conv1", "stem_conv1")
+    norm("patch_embed.norm1.1", "stem_norm1")
+    conv("patch_embed.conv2", "stem_conv2")
+    norm("patch_embed.norm2.1", "stem_norm2")
+
+    for s, depth in enumerate(depths):
+        for i in range(depth):
+            src = f"levels.{s}.blocks.{i}"
+            dst = f"stage{s}_layer{i}"
+            for g in ("gamma1", "gamma2"):
+                if f"{src}.{g}" in sd:
+                    put(f"{dst}/{g}", sd[f"{src}.{g}"])
+            norm(f"{src}.norm1.0", f"{dst}/norm1")
+            norm(f"{src}.norm2.0", f"{dst}/norm2")
+            conv(f"{src}.dcn.dw_conv.0", f"{dst}/dcn/dw_conv")
+            norm(f"{src}.dcn.dw_conv.1.1", f"{dst}/dcn/dw_norm")
+            for lin in ("offset", "mask", "input_proj", "output_proj"):
+                dense(f"{src}.dcn.{lin}", f"{dst}/dcn/{lin}")
+            dense(f"{src}.mlp.fc1", f"{dst}/mlp/fc1")
+            dense(f"{src}.mlp.fc2", f"{dst}/mlp/fc2")
+        if f"levels.{s}.norm.0.weight" in sd:  # pre-norm variants
+            norm(f"levels.{s}.norm.0", f"stage{s}_norm")
+        if f"levels.{s}.downsample.conv.weight" in sd:
+            conv(f"levels.{s}.downsample.conv", f"down{s}_conv")
+            norm(f"levels.{s}.downsample.norm.1", f"down{s}_norm")
+    return params
+
+
 def convert_backbone_checkpoint(path: str, cfg: BackboneConfig,
                                 grid: Optional[Tuple[int, int]] = None) -> dict:
+    if cfg.name.startswith("internimage"):
+        depths = (5, 5, 24, 5) if cfg.name.endswith("xl") else (4, 4, 18, 4)
+        return convert_internimage(load_torch_checkpoint(path), depths)
     return convert_backbone(load_torch_checkpoint(path), cfg, grid)

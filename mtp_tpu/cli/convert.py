@@ -20,27 +20,34 @@ def main(argv=None):
     p.add_argument("ckpt")
     p.add_argument("out")
     p.add_argument("--backbone", default="vit_b_rvsa",
-                   choices=["vit_b_rvsa", "vit_l_rvsa"])
+                   choices=["vit_b_rvsa", "vit_l_rvsa", "internimage_xl",
+                            "internimage_t"])
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--scan", action="store_true",
-                   help="emit the scanned block-group layout")
+                   help="emit the scanned block-group layout (ViT only)")
     args = p.parse_args(argv)
 
-    from mtp_tpu.utils.config import BACKBONES
     from mtp_tpu.ckpt.store import save_encoder
     from mtp_tpu.ckpt.torch_convert import (convert_backbone_checkpoint,
                                             to_scan_layout)
 
-    cfg = BACKBONES[args.backbone](args.img_size, scan=args.scan)
-    params = convert_backbone_checkpoint(args.ckpt, cfg)
-    if args.scan:
-        params = to_scan_layout(params, cfg.depth, cfg.interval)
+    if args.backbone.startswith("internimage"):
+        from mtp_tpu.models.backbones import internimage_backbone_config
+        cfg = internimage_backbone_config(args.backbone, args.img_size)
+        params = convert_backbone_checkpoint(args.ckpt, cfg)
+        desc = args.backbone
+    else:
+        from mtp_tpu.utils.config import BACKBONES
+        cfg = BACKBONES[args.backbone](args.img_size, scan=args.scan)
+        params = convert_backbone_checkpoint(args.ckpt, cfg)
+        if args.scan:
+            params = to_scan_layout(params, cfg.depth, cfg.interval)
+        desc = (f"{args.backbone} grid {args.img_size // cfg.patch_size}²"
+                f"{' scan' if args.scan else ''}")
     save_encoder(args.out, params)
     n = sum(np.asarray(v).size for v in
             __import__("jax").tree.leaves(params))
-    print(f"wrote {args.out}: {n/1e6:.1f}M params "
-          f"({args.backbone} grid {args.img_size // cfg.patch_size}²"
-          f"{' scan' if args.scan else ''})")
+    print(f"wrote {args.out}: {n/1e6:.1f}M params ({desc})")
     return 0
 
 

@@ -148,14 +148,17 @@ class InternImage(nn.Module):
                     cfg.layer_scale, cfg.offset_scale, cfg.post_norm,
                     dtype=dtype, name=f"stage{s}_layer{i}")(x, deterministic)
                 li += 1
-            feat = x
+            # reference InternImageBlock norms the STREAM before the
+            # downsample when not post-norm (intern_image.py block forward)
             if not cfg.post_norm:
-                feat = ln(f"stage{s}_norm")(feat)
+                x = ln(f"stage{s}_norm")(x)
             if s in cfg.out_indices:
-                outs.append(feat)
+                outs.append(x)
             if s < len(cfg.depths) - 1:
+                # reference DownsampleLayer conv has no bias
                 x = nn.Conv(ch * 2, (3, 3), strides=(2, 2), padding=1,
-                            dtype=dtype, name=f"down{s}_conv")(x)
+                            use_bias=False, dtype=dtype,
+                            name=f"down{s}_conv")(x)
                 x = ln(f"down{s}_norm")(x)
         return tuple(outs)
 

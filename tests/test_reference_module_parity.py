@@ -1,12 +1,13 @@
-"""Parity against the REFERENCE'S OWN torch module.
+"""Parity against the REFERENCE'S OWN torch modules.
 
 The released MTP checkpoints can't be downloaded in this environment, so —
 per the round-1 verdict's fallback — the correctness anchor is the
-reference's actual `vit_win_rvsa_v3_wsz7.py` executed as the oracle
-(imported from the read-only checkout with tiny shims for its timm/mmengine
-imports; nothing is copied).  A random state_dict from the REAL reference
-module goes through ckpt/torch_convert and must reproduce the reference
-forward exactly — the same path a real released `*_encoder.pth` takes.
+reference's actual backbone code executed as the oracle (imported from the
+read-only checkout with tiny API-compatible shims for its timm/mmengine/
+pkg_resources/compiled-ext imports; nothing is copied).  A random
+state_dict from the REAL reference module goes through ckpt/torch_convert
+and must reproduce the reference forward exactly — the same path a real
+released `*_encoder.pth` takes.
 """
 
 import importlib.util
@@ -17,17 +18,19 @@ import types
 import numpy as np
 import pytest
 
-REF = "/root/reference/Multi-Task_Pretrain/backbone/vit_win_rvsa_v3_wsz7.py"
+REF_DIR = "/root/reference/Multi-Task_Pretrain"
+REF_RVSA = os.path.join(REF_DIR, "backbone", "vit_win_rvsa_v3_wsz7.py")
 
-pytestmark = pytest.mark.skipif(not os.path.exists(REF),
+pytestmark = pytest.mark.skipif(not os.path.exists(REF_RVSA),
                                 reason="reference checkout not present")
 
 
-def _load_reference_module():
+def _install_stubs():
+    """API-compatible stubs of the reference's external imports (timm,
+    mmengine, pkg_resources, the DCNv3 compiled extension) — not reference
+    code."""
     import torch
 
-    # shims for the reference's external imports (API-compatible stubs of
-    # timm.models.layers and mmengine.dist — not reference code)
     if "timm" not in sys.modules:
         timm = types.ModuleType("timm")
         models = types.ModuleType("timm.models")
@@ -41,11 +44,17 @@ def _load_reference_module():
             mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
             return x.div(keep) * mask.floor_()
 
-        def to_2tuple(v):
-            return v if isinstance(v, tuple) else (v, v)
+        class DropPath(torch.nn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                return drop_path(x, self.drop_prob, self.training)
 
         layers.drop_path = drop_path
-        layers.to_2tuple = to_2tuple
+        layers.DropPath = DropPath
+        layers.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
         layers.trunc_normal_ = torch.nn.init.trunc_normal_
         timm.models = models
         models.layers = layers
@@ -59,8 +68,23 @@ def _load_reference_module():
         mmengine.dist = dist
         sys.modules["mmengine"] = mmengine
         sys.modules["mmengine.dist"] = dist
+    if "DCNv3" not in sys.modules:
+        sys.modules["DCNv3"] = types.ModuleType("DCNv3")  # compiled ext
+    if "pkg_resources" not in sys.modules:
+        pr = types.ModuleType("pkg_resources")
 
-    spec = importlib.util.spec_from_file_location("ref_rvsa", REF)
+        class _Dist:
+            version = "1.0"
+
+        pr.get_distribution = lambda name: _Dist()
+        sys.modules["pkg_resources"] = pr
+    if REF_DIR not in sys.path:
+        sys.path.insert(0, REF_DIR)
+
+
+def _load_reference_rvsa():
+    _install_stubs()
+    spec = importlib.util.spec_from_file_location("ref_rvsa", REF_RVSA)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -74,7 +98,7 @@ def test_reference_rvsa_forward_parity():
     from mtp_tpu.models.vit_rvsa import ViTRVSA
     from mtp_tpu.utils.config import BackboneConfig
 
-    ref = _load_reference_module()
+    ref = _load_reference_rvsa()
     torch.manual_seed(0)
     # tiny-but-real config: 7x7 patch grid (= the RVSA window), one full-
     # attention block at interval 3, all four pyramid taps
@@ -103,6 +127,57 @@ def test_reference_rvsa_forward_parity():
         lambda p: ViTRVSA(cfg).apply({"params": p}, jnp.asarray(x)))(params)
 
     assert len(ours) == len(ref_feats) == 4
+    for i, (a, b) in enumerate(zip(ours, ref_feats)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), b, atol=5e-4, rtol=1e-3,
+                                   err_msg=f"pyramid level {i}")
+
+
+@pytest.mark.parametrize("post_norm", [True, False])
+def test_reference_internimage_forward_parity(post_norm):
+    """The reference's own InternImage (DCNv3_pytorch core) as oracle:
+    converted state_dict through ckpt/torch_convert.convert_internimage
+    must reproduce both pyramid levels (XL-style post-norm and the
+    pre-norm variant)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from mtp_tpu.ckpt.torch_convert import convert_internimage
+    from mtp_tpu.models.internimage import InternImage, InternImageConfig
+
+    _install_stubs()
+    from backbone.intern_image import InternImage as RefInternImage
+
+    torch.manual_seed(0)
+    depths, groups, ch = (2, 2), (1, 2), 16
+    tm = RefInternImage(core_op="DCNv3_pytorch", channels=ch,
+                        depths=list(depths), groups=list(groups),
+                        mlp_ratio=4., drop_path_rate=0.0,
+                        layer_scale=1e-5 if post_norm else None,
+                        offset_scale=2.0, post_norm=post_norm,
+                        out_indices=(0, 1))
+    tm.eval()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+
+    x = np.random.default_rng(2).standard_normal((2, 32, 32, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref_feats = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    ref_feats = [f.permute(0, 2, 3, 1).numpy() for f in ref_feats]
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_internimage(sd, depths)
+    cfg = InternImageConfig(channels=ch, depths=depths, groups=groups,
+                            mlp_ratio=4.0, drop_path_rate=0.0,
+                            layer_scale=1e-5 if post_norm else None,
+                            offset_scale=2.0, post_norm=post_norm,
+                            out_indices=(0, 1), dtype="float32")
+    ours = jax.jit(lambda p: InternImage(cfg).apply(
+        {"params": p}, jnp.asarray(x)))(params)
+
+    assert len(ours) == len(ref_feats) == 2
     for i, (a, b) in enumerate(zip(ours, ref_feats)):
         assert a.shape == b.shape, (i, a.shape, b.shape)
         np.testing.assert_allclose(np.asarray(a), b, atol=5e-4, rtol=1e-3,
