@@ -107,8 +107,12 @@ def test_pad_instances_and_collate():
     assert b["gt_boxes"].shape == (2, 4, 4)
     assert b["gt_valid"][0].tolist() == [True, False, False, False]
     assert not b["gt_valid"][1].any()
-    assert b["gt_masks"].shape == (2, 4, 8, 8)
+    assert b["gt_mask_crops"].shape == (2, 4, 56, 56)
+    assert b["gt_mask_crops"][0, 0].min() == 1.0  # full mask covers its box
     assert b["r_gt_boxes"].shape == (2, 4, 5)
+    # legacy stride mode still produces the decimated full map
+    bl = collate_multitask([s1, s2], max_gts=4, mask_mode="stride")
+    assert bl["gt_masks"].shape == (2, 4, 8, 8)
 
 
 def test_loader_epoch():
