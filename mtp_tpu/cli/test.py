@@ -61,6 +61,87 @@ def save_det_pred(path: str, image: np.ndarray, boxes: np.ndarray,
     pil.save(path)
 
 
+def run_format_only(task, state, cfg, recipe, args):
+    """Rotated-submission path (reference mmrotate-0.3.4 `tools/test.py
+    --format-only` + `MTP_RD_Metric.merge_results`): predict every patch
+    image, merge `base__rate__x___y` patches back to source images with
+    per-class rotated NMS, write DOTA Task1 txts (+zip) and optionally the
+    FAIR1M xml tree."""
+    from mtp_tpu.data import transforms as T
+    from mtp_tpu.data.datasets import imread
+    from mtp_tpu.data.bindings import ROTATED_CLASS_TABLES
+    from mtp_tpu.eval.det_map import (merge_dota_patches,
+                                      write_dota_submission,
+                                      write_fair1m_submission)
+
+    classes = ROTATED_CLASS_TABLES.get(recipe.dataset)
+    if classes is None:
+        raise SystemExit(f"no class table for dataset {recipe.dataset!r}")
+    img_dir = None
+    for cand in (os.path.join(args.data_root, args.split, "images"),
+                 os.path.join(args.data_root, "images"),
+                 os.path.join(args.data_root, args.split)):
+        if os.path.isdir(cand):
+            img_dir = cand
+            break
+    if img_dir is None:
+        raise SystemExit(f"no images dir under {args.data_root}")
+    files = sorted(f for f in os.listdir(img_dir)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg", ".tif",
+                                          ".bmp")))
+    if not files:
+        raise SystemExit(f"no images in {img_dir}")
+
+    S = cfg.backbone.img_size
+    B = args.batch_size or cfg.train.batch_size
+    predict = task.predict_fn()
+    per_patch = {}
+
+    def flush(stack, stems, scales):
+        n = len(stack)
+        while len(stack) < B:  # fixed shape for the jitted program
+            stack.append(stack[0])
+        dets = predict(state.params, np.stack(stack))
+        for i in range(n):
+            v = np.asarray(dets.valid[i])
+            b = np.asarray(dets.boxes[i])[v].astype(np.float64)
+            if len(b):
+                b[:, :4] /= scales[i]  # back to patch pixels
+            per_patch[stems[i]] = {
+                "det_boxes": b,
+                "det_scores": np.asarray(dets.scores[i])[v],
+                "det_labels": np.asarray(dets.labels[i])[v],
+            }
+
+    stack, stems, scales = [], [], []
+    for f in files:
+        img = imread(os.path.join(img_dir, f))
+        h, w = img.shape[:2]
+        s = {"image": img}
+        s = T.resize(s, (S, S), keep_ratio=True)
+        scale = min(S / w, S / h)
+        s = T.pad_to(T.normalize(s), (S, S))
+        stack.append(s["image"])
+        stems.append(os.path.splitext(f)[0])
+        scales.append(scale)
+        if len(stack) == B:
+            flush(stack, stems, scales)
+            stack, stems, scales = [], [], []
+    if stack:
+        flush(stack, stems, scales)
+
+    merged = merge_dota_patches(per_patch, len(classes),
+                                nms_iou=args.merge_iou,
+                                rescale_by_rate=args.rescale_by_rate)
+    sub = args.submission_dir or "submit"
+    write_dota_submission(merged, classes, sub, zip_path=sub + ".zip")
+    if args.fair1m or "fair1m" in recipe.dataset:
+        write_fair1m_submission(merged, classes, sub + "_xml")
+    print(json.dumps({"recipe": recipe.name, "patches": len(per_patch),
+                      "images": len(merged), "submission": sub}))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("recipe")
@@ -79,6 +160,22 @@ def main(argv=None):
     p.add_argument("--score-thr", type=float, default=0.3)
     p.add_argument("--save-pred", default=None,
                    help="directory for prediction visualizations")
+    p.add_argument("--format-only", action="store_true",
+                   help="rotated recipes: skip metrics, predict every "
+                        "patch under <data-root>/<split>/images, merge "
+                        "'base__rate__x___y' patches back to full images "
+                        "and write a DOTA Task1 submission (reference "
+                        "tools/test.py --format-only)")
+    p.add_argument("--submission-dir", default=None,
+                   help="output dir for the submission (default "
+                        "<work>/submit); also zipped")
+    p.add_argument("--merge-iou", type=float, default=0.1,
+                   help="per-class NMS IoU for the patch merge")
+    p.add_argument("--rescale-by-rate", action="store_true",
+                   help="divide multi-scale patch boxes by their rate "
+                        "segment on merge")
+    p.add_argument("--fair1m", action="store_true",
+                   help="also write the FAIR1M per-image xml tree")
     args = p.parse_args(argv)
 
     import jax
@@ -110,6 +207,14 @@ def main(argv=None):
         restored = store.restore(state)
         if restored is not None:
             state = restored
+
+    if args.format_only:
+        if cfg.task != "detection_r":
+            raise SystemExit("--format-only is the rotated-submission path "
+                             "(detection_r recipes)")
+        if not args.data_root:
+            raise SystemExit("--format-only needs --data-root")
+        return run_format_only(task, state, cfg, recipe, args)
 
     if args.synthetic:
         gen = synthetic_data(cfg, batch_size)

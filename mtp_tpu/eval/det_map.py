@@ -301,3 +301,34 @@ def write_dota_submission(results: Dict[str, dict], class_names: Sequence[str],
             for c, name in enumerate(class_names):
                 p = os.path.join(out_dir, f"Task1_{name}.txt")
                 z.write(p, os.path.basename(p))
+
+
+def write_fair1m_submission(results: Dict[str, dict],
+                            class_names: Sequence[str], out_dir: str) -> None:
+    """FAIR1M per-image submission xml tree directly from merged results
+    (the reference pipeline writes DOTA txts then converts with
+    scripts/dota_submit_txt_to_fair1m_xml.py; same xml schema here)."""
+    import xml.etree.ElementTree as ET
+    os.makedirs(out_dir, exist_ok=True)
+    for img_id, det in results.items():
+        b = det["det_boxes"]
+        quads = (np.zeros((0, 8)) if len(b) == 0
+                 else b if b.shape[1] == 8 else rbox_to_quad_np(b))
+        root = ET.Element("annotation")
+        src = ET.SubElement(root, "source")
+        ET.SubElement(src, "filename").text = img_id + ".tif"
+        objs = ET.SubElement(root, "objects")
+        for q, s, l in zip(quads, det["det_scores"], det["det_labels"]):
+            o = ET.SubElement(objs, "object")
+            ET.SubElement(o, "coordinate").text = "pixel"
+            ET.SubElement(o, "type").text = "rectangle"
+            ET.SubElement(o, "description").text = "None"
+            poss = ET.SubElement(o, "possibleresult")
+            ET.SubElement(poss, "name").text = class_names[int(l)]
+            ET.SubElement(poss, "probability").text = f"{float(s):.4f}"
+            p = ET.SubElement(o, "points")
+            pts = list(q) + [q[0], q[1]]  # closed ring
+            for i in range(0, 10, 2):
+                ET.SubElement(p, "point").text = \
+                    f"{pts[i]:.6f},{pts[i + 1]:.6f}"
+        ET.ElementTree(root).write(os.path.join(out_dir, img_id + ".xml"))

@@ -49,6 +49,36 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
     o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
 
 
+def _attn_kernel_packed(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                        scale: float, n_valid: int, pack: int, np_: int):
+    """P windows stacked along the MXU row dim: one (P·Np, P·Np) score
+    matmul instead of P half-empty (Np, Np) passes.  49-token windows pad
+    to Np=64 so P=2 fills the 128×128 systolic array exactly; cross-window
+    blocks are masked to -inf, the per-window bias lands block-diagonally."""
+    P, Np = pack, np_
+    q = q_ref[:, 0].astype(jnp.float32).reshape(P * Np, -1)   # (P·Np, D)
+    k = k_ref[:, 0].astype(jnp.float32).reshape(P * Np, -1)
+    v = v_ref[:, 0].astype(jnp.float32).reshape(P * Np, -1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    # block-diagonal bias: row-block p gets bias[p] at column-block p
+    b = jnp.concatenate(
+        [jnp.pad(bias_ref[p, 0], ((0, 0), (p * Np, (P - 1 - p) * Np)))
+         for p in range(P)], axis=0)                           # (P·Np, P·Np)
+    s = s + b
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = (row // Np == col // Np) & (col % Np < n_valid)
+    s = jnp.where(valid, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p_ = jnp.exp(s - m)
+    denom = jnp.sum(p_, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p_, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[:, 0] = (o / denom).astype(o_ref.dtype).reshape(P, Np, -1)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -96,27 +126,49 @@ def _fused_forward(q: Array, k: Array, v: Array, bias: Array,
     Np = _round_up(N, 8)
     Dp = _round_up(D, 128)
 
+    # windows of ≤64 tokens half-fill the 128-row MXU tile: pack P windows
+    # per grid cell (Np 49→64, P=2 → exactly 128 score rows)
+    import os as _os
+    pack = 128 // _round_up(N, 64) if N <= 64 else 1
+    if _os.environ.get("MTP_ATTN_NO_PACK"):
+        pack = 1
+    if pack > 1:
+        Np = _round_up(N, 64)
+        Wp = _round_up(W, pack)
+    else:
+        Wp = W
+
     def pad(t, n3, n4):
-        return jnp.pad(t, ((0, 0), (0, 0), (0, n3 - t.shape[2]),
-                           (0, n4 - t.shape[3])))
+        return jnp.pad(t, ((0, Wp - t.shape[0]), (0, 0),
+                           (0, n3 - t.shape[2]), (0, n4 - t.shape[3])))
 
     qp = pad(q, Np, Dp)
     kp = pad(k, Np, Dp)
     vp = pad(v, Np, Dp)
     bp = pad(bias.astype(jnp.float32), Np, Np)
 
-    grid = (W, H)
-    spec3 = pl.BlockSpec((1, 1, Np, Dp), lambda w, h: (w, h, 0, 0),
-                         memory_space=pltpu.VMEM)
-    specb = pl.BlockSpec((1, 1, Np, Np), lambda w, h: (w, h, 0, 0),
-                         memory_space=pltpu.VMEM)
+    if pack > 1:
+        grid = (Wp // pack, H)
+        spec3 = pl.BlockSpec((pack, 1, Np, Dp), lambda w, h: (w, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+        specb = pl.BlockSpec((pack, 1, Np, Np), lambda w, h: (w, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+        kernel = functools.partial(_attn_kernel_packed, scale=scale,
+                                   n_valid=N, pack=pack, np_=Np)
+    else:
+        grid = (Wp, H)
+        spec3 = pl.BlockSpec((1, 1, Np, Dp), lambda w, h: (w, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+        specb = pl.BlockSpec((1, 1, Np, Np), lambda w, h: (w, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+        kernel = functools.partial(_attn_kernel, scale=scale, n_valid=N)
 
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_valid=N),
-        out_shape=jax.ShapeDtypeStruct((W, H, Np, Dp), q.dtype),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Wp, H, Np, Dp), q.dtype),
         grid=grid,
         in_specs=[spec3, spec3, spec3, specb],
         out_specs=spec3,
         interpret=interpret,
     )(qp, kp, vp, bp)
-    return out[:, :, :N, :D]
+    return out[:W, :, :N, :D]

@@ -47,6 +47,35 @@ def test_bf16_inputs():
                                np.asarray(ref, np.float32), atol=3e-2)
 
 
+def test_odd_window_count_packed():
+    """W=5 with the packed (pack=2) path: the 6th padded window must not
+    leak into real outputs."""
+    rng = np.random.default_rng(3)
+    W, H, N, D = 5, 2, 49, 64
+    q = jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((W, H, N, N)) * 0.1, jnp.float32)
+    got = fused_window_attention(q, k, v, bias, 0.125, interpret=True)
+    ref = jnp_reference(q, k, v, bias, 0.125)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_large_n_unpacked():
+    """N>64 (full-attention shape) stays on the single-window kernel."""
+    rng = np.random.default_rng(4)
+    W, H, N, D = 2, 2, 196, 64
+    q = jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((W, H, N, N)) * 0.1, jnp.float32)
+    got = fused_window_attention(q, k, v, bias, 0.125, interpret=True)
+    ref = jnp_reference(q, k, v, bias, 0.125)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)
+
+
 def test_grad_through_pallas_path():
     """custom_vjp: grads flow (jnp-recompute backward) and match the pure
     jnp path's grads."""

@@ -136,3 +136,35 @@ def test_cli_detection_r_real(tmp_path, capsys):
                 '"rcnn_num":8,"max_per_img":4}'])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "eval" in out and "mAP" in out["eval"]
+
+
+def test_cli_format_only_submission(tmp_path, capsys):
+    """DOTA submission path (reference mmrotate-0.3.4 --format-only):
+    predict pre-tiled patches, merge multi-scale ids, write Task1 txts +
+    zip + FAIR1M xmls."""
+    from mtp_tpu.cli.test import main as test_main
+
+    img_dir = tmp_path / "test" / "images"
+    img_dir.mkdir(parents=True)
+    # two patches of P0001 (two scales) + one of P0002
+    for name, seed in (("P0001__1.0__0___0", 1), ("P0001__0.5__0___32", 2),
+                       ("P0002__1.0__0___0", 3)):
+        _img(img_dir / f"{name}.png", seed=seed)
+    argv = ["oriented_rcnn_rvsa_b_1024_mae_mtp_dota10",
+            "--data-root", str(tmp_path), "--split", "test",
+            "--format-only", "--fair1m", "--rescale-by-rate",
+            "--img-size", "64", "--batch-size", "2", "--mesh-data", "1",
+            "--submission-dir", str(tmp_path / "submit")]
+    assert test_main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["patches"] == 3 and out["images"] == 2  # P0001 merged
+    from mtp_tpu.data.datasets import DOTA10_CLASSES
+    txts = sorted(os.listdir(tmp_path / "submit"))
+    assert txts == sorted(f"Task1_{c}.txt" for c in DOTA10_CLASSES)
+    assert (tmp_path / "submit.zip").exists()
+    xmls = os.listdir(str(tmp_path / "submit") + "_xml")
+    assert sorted(x[:-4] for x in xmls) == ["P0001", "P0002"]
+    # every submission line references a merged base id
+    for t in txts:
+        for line in open(tmp_path / "submit" / t):
+            assert line.split()[0] in ("P0001", "P0002")
