@@ -160,6 +160,9 @@ def main(argv=None):
                    help="fixed-shape padding cap for gt instances per image")
     p.add_argument("--num-workers", type=int, default=0,
                    help="fork-based decode worker processes per loader")
+    p.add_argument("--alloc", choices=("ratio", "avg"), default="ratio",
+                   help="multitask per-dataset batch allocation (reference "
+                        "--batch_mode)")
     p.add_argument("--eval-after", action="store_true",
                    help="run validation on the val/test split after training")
     p.add_argument("--log-every", type=int, default=50)
@@ -242,7 +245,8 @@ def main(argv=None):
         from mtp_tpu.data.bindings import build_train_data
         data, info = build_train_data(recipe, cfg, args.data_root,
                                       batch_size, max_gts=args.max_gts,
-                                      num_workers=args.num_workers)
+                                      num_workers=args.num_workers,
+                                      alloc=args.alloc)
         logger.info("real data from %s: %s", args.data_root, info)
     else:
         raise SystemExit(

@@ -224,12 +224,13 @@ def samrs_iterator(loaders) -> Iterator[Dict[str, Dict[str, np.ndarray]]]:
 
 
 def build_train_data(recipe, cfg, data_root: str, batch_size: int,
-                     max_gts: int = 100, num_workers: int = 0):
+                     max_gts: int = 100, num_workers: int = 0,
+                     alloc: str = "ratio"):
     """(forever-iterator, info dict) for the CLI train loop."""
     if cfg.task == "multitask":
         datasets, loaders, sizes = build_samrs_loaders(
             data_root, cfg.backbone.img_size, batch_size, max_gts=max_gts,
-            num_workers=num_workers)
+            num_workers=num_workers, alloc=alloc)
         info = {"datasets": [len(d) for d in datasets],
                 "batch_sizes": list(sizes)}
         return samrs_iterator(loaders), info

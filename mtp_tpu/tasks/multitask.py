@@ -41,9 +41,15 @@ def allocate_batch_sizes(total: int, lengths: Sequence[int],
     else:
         tot_len = sum(lengths)
         sizes = [max(1, round(total * l / tot_len)) for l in lengths]
-    # fix rounding drift onto the largest dataset
+    # spread rounding drift one sample at a time, largest dataset first
     drift = total - sum(sizes)
-    sizes[int(np.argmax(lengths))] += drift
+    order = np.argsort([-l for l in lengths])
+    i = 0
+    while drift != 0:
+        step = 1 if drift > 0 else -1
+        sizes[order[i % n]] += step
+        drift -= step
+        i += 1
     if min(sizes) < 1:
         raise ValueError(f"batch {total} too small for {n} datasets")
     return tuple(sizes)

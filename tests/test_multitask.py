@@ -126,3 +126,5 @@ def test_allocate_batch_sizes():
     assert sum(sizes) == 24 and min(sizes) >= 1
     assert sizes[2] > sizes[1] > sizes[0]
     assert allocate_batch_sizes(24, (1, 1, 1), mode="avg") == (8, 8, 8)
+    # rounding drift spreads instead of landing on one dataset
+    assert allocate_batch_sizes(8, (8, 4, 4), mode="avg") == (3, 3, 2)
