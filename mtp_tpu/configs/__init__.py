@@ -109,7 +109,9 @@ def _det(backbone: BackboneConfig, num_classes: int, steps: int = 90000,
             batch_size=8,
             optimizer=OptimizerConfig(lr=lr, weight_decay=0.05,
                                       layer_decay=0.9, clip_norm=35.0),
-            schedule=ScheduleConfig(kind="cosine", total_steps=steps,
+            # reference detection finetunes: LinearLR warmup 500 iters +
+            # MultiStepLR milestones [8, 11] of 12 epochs, gamma 0.1
+            schedule=ScheduleConfig(kind="step", total_steps=steps,
                                     warmup_steps=500)))
 
 

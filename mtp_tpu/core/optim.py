@@ -43,6 +43,12 @@ def make_schedule(cfg: ScheduleConfig, base_lr: float) -> optax.Schedule:
             return (base_lr - min_lr) * (1 - frac) ** cfg.poly_power + min_lr
     elif cfg.kind == "constant":
         main = optax.constant_schedule(base_lr)
+    elif cfg.kind == "step":
+        # reference MultiStepLR (detection finetunes: milestones [8, 11] of
+        # 12 epochs, gamma 0.1) expressed as fractions of the post-warmup run
+        bounds = {int(round(m * rest)): cfg.step_gamma
+                  for m in cfg.step_milestones}
+        main = optax.piecewise_constant_schedule(base_lr, bounds)
     else:
         raise ValueError(cfg.kind)
 

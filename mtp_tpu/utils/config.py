@@ -99,12 +99,16 @@ class OptimizerConfig:
 class ScheduleConfig:
     """LR schedule: linear warmup then cosine (pretrain) or poly (seg finetune)."""
 
-    kind: str = "cosine"  # cosine | poly | constant
+    kind: str = "cosine"  # cosine | poly | constant | step
     total_steps: int = 1000
     warmup_steps: int = 0
     warmup_ratio: float = 1e-6
     min_lr_ratio: float = 0.0
     poly_power: float = 1.0
+    # kind='step' (reference MultiStepLR, e.g. milestones [8,11]/12 epochs):
+    # LR multiplied by step_gamma at each fraction of total_steps
+    step_milestones: tuple = (8 / 12, 11 / 12)
+    step_gamma: float = 0.1
 
 
 @dataclass(frozen=True)

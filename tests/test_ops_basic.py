@@ -70,3 +70,17 @@ def test_swin_bias_symmetry():
     bias = swin_rel_pos_bias(table, idx)
     assert bias.shape == (12, 49, 49)
     np.testing.assert_allclose(np.asarray(bias)[:, 0, 1], np.asarray(bias)[:, 1, 2])
+
+
+def test_step_schedule_multistep_lr():
+    """kind='step' == reference MultiStepLR (milestones [8,11]/12 epochs,
+    gamma 0.1) over a 1200-step run."""
+    from mtp_tpu.core.optim import make_schedule
+    from mtp_tpu.utils.config import ScheduleConfig
+    s = make_schedule(ScheduleConfig(kind="step", total_steps=1200,
+                                     warmup_steps=0), 1e-4)
+    import numpy as np
+    assert np.isclose(float(s(0)), 1e-4)
+    assert np.isclose(float(s(799)), 1e-4)
+    assert np.isclose(float(s(800)), 1e-5)
+    assert np.isclose(float(s(1100)), 1e-6)
