@@ -62,9 +62,11 @@ def get(name: str) -> Recipe:
 # --------------------------------------------------------------------------
 
 def _cls(backbone: BackboneConfig, num_classes: int, steps: int,
-         lr: float = 2.5e-4, layer_decay: float = 0.9) -> TaskConfig:
-    """Scene-classification recipe shape (reference mmpretrain configs:
-    AdamW lr 2.5e-4, layer decay 0.9, warmup + cosine)."""
+         lr: float = 6e-5, layer_decay: float = 0.9) -> TaskConfig:
+    """Scene-classification recipe shape (reference mmpretrain configs,
+    e.g. eurosat/vit-rvsa-l-224-mae-mtp_eurosat.py:61-65: AdamW lr 6e-5,
+    layer decay 0.9, LinearLR 5 epochs + CosineAnnealingLR, global batch
+    8×8 ranks = 64)."""
     return TaskConfig(
         task="classification", num_classes=num_classes, backbone=backbone,
         train=TrainConfig(
@@ -77,28 +79,32 @@ def _cls(backbone: BackboneConfig, num_classes: int, steps: int,
 
 def _seg(backbone: BackboneConfig, num_classes: int, steps: int = 80000,
          lr: float = 6e-5, crop: int = 512) -> TaskConfig:
-    """Segmentation recipe shape (reference mmseg configs: AdamW 6e-5,
-    poly schedule, 80k iters, slide eval stride 256)."""
+    """Segmentation recipe shape (reference mmseg configs, e.g.
+    spacenetv1/rvsa-l-upernet-384-...py:92-114: AdamW 6e-5, LinearLR 1500
+    iters + CosineAnnealingLR to 80k, slide eval stride 256)."""
     return TaskConfig(
         task="segmentation", num_classes=num_classes, backbone=backbone,
         train=TrainConfig(
             batch_size=8,
             optimizer=OptimizerConfig(lr=lr, weight_decay=0.05,
                                       layer_decay=0.9),
-            schedule=ScheduleConfig(kind="poly", total_steps=steps,
-                                    warmup_steps=1500, poly_power=1.0)),
+            schedule=ScheduleConfig(kind="cosine", total_steps=steps,
+                                    warmup_steps=1500)),
         slide=SlideConfig(crop=crop, stride=256))
 
 
 def _cd(backbone: BackboneConfig, steps: int = 40000) -> TaskConfig:
+    """Change-detection recipe shape (reference open-cd configs, e.g.
+    levir/rvsa-l-unet-256-...py:107-137: AdamW 6e-5, LinearLR 5 epochs +
+    CosineAnnealingLR to 150 epochs)."""
     return TaskConfig(
         task="change_detection", num_classes=2, backbone=backbone,
         train=TrainConfig(
             batch_size=8,
             optimizer=OptimizerConfig(lr=6e-5, weight_decay=0.05,
                                       layer_decay=0.9),
-            schedule=ScheduleConfig(kind="poly", total_steps=steps,
-                                    warmup_steps=1000)))
+            schedule=ScheduleConfig(kind="cosine", total_steps=steps,
+                                    warmup_steps=steps // 30)))
 
 
 def _det(backbone: BackboneConfig, num_classes: int, steps: int = 90000,
@@ -234,10 +240,12 @@ def _():
             backbone=vit_b_rvsa(448, drop_path_rate=0.1),
             train=TrainConfig(
                 batch_size=24,
-                optimizer=OptimizerConfig(lr=1e-4, weight_decay=0.05,
+                # reference main_pretrain.py:433-457: AdamW 6e-5,
+                # layer decay 0.9, CosineAnnealingLR without warmup
+                optimizer=OptimizerConfig(lr=6e-5, weight_decay=0.05,
                                           layer_decay=0.9),
                 schedule=ScheduleConfig(kind="cosine", total_steps=80000,
-                                        warmup_steps=2000))),
+                                        warmup_steps=0))),
         dataset="samrs", init="mae",
         notes="SOTA+SIOR+FAST joint pretraining")
 
@@ -251,10 +259,12 @@ def _():
             backbone=vit_l_rvsa(448, drop_path_rate=0.1, scan=True),
             train=TrainConfig(
                 batch_size=24,
-                optimizer=OptimizerConfig(lr=1e-4, weight_decay=0.05,
+                # reference main_pretrain.py:433-457: AdamW 6e-5,
+                # layer decay 0.9, CosineAnnealingLR without warmup
+                optimizer=OptimizerConfig(lr=6e-5, weight_decay=0.05,
                                           layer_decay=0.9),
                 schedule=ScheduleConfig(kind="cosine", total_steps=80000,
-                                        warmup_steps=2000))),
+                                        warmup_steps=0))),
         dataset="samrs", init="mae",
         notes="flagship pretraining recipe")
 
@@ -268,10 +278,12 @@ def _():
             backbone=_internimage_xl(448),
             train=TrainConfig(
                 batch_size=24,
-                optimizer=OptimizerConfig(lr=1e-4, weight_decay=0.05,
-                                          layer_decay=0.9),
+                # reference main_pretrain.py:466-474: InternImage
+                # pretrains at AdamW 2e-5, layer decay 0.94, no warmup
+                optimizer=OptimizerConfig(lr=2e-5, weight_decay=0.05,
+                                          layer_decay=0.94),
                 schedule=ScheduleConfig(kind="cosine", total_steps=80000,
-                                        warmup_steps=2000))),
+                                        warmup_steps=0))),
         dataset="samrs", init="imp",
         notes="InternImage-XL pretraining (reference --backbone internimage)")
 

@@ -37,3 +37,26 @@ def test_cli_list_runs():
              "PYTHONPATH": "/root/repo", "HOME": "/root"})
     assert out.returncode == 0, out.stderr
     assert "mtp_vit_l_rvsa_448_samrs" in out.stdout
+
+
+def test_recipe_hyperparams_match_reference_configs():
+    """Spot-check optimizer/schedule numbers against the reference config
+    files they cite (lr/schedule drift caught in round 2)."""
+    cls = configs.get("vit-rvsa-l-224-mae-mtp_eurosat").task.train
+    assert cls.optimizer.lr == 6e-5 and cls.schedule.kind == "cosine"
+
+    seg = configs.get("rvsa-l-upernet-384-mae-mtp-spacenetv1").task.train
+    assert seg.optimizer.lr == 6e-5
+    assert seg.schedule.kind == "cosine" and seg.schedule.warmup_steps == 1500
+
+    det = configs.get("faster_rcnn_rvsa_l_800_mae_mtp_dior").task.train
+    assert det.optimizer.lr == 1e-4 and det.schedule.kind == "step"
+    assert det.schedule.step_gamma == 0.1
+
+    cd = configs.get("rvsa-l-unet-256-mae-mtp_levir").task.train
+    assert cd.optimizer.lr == 6e-5 and cd.schedule.kind == "cosine"
+
+    mtp = configs.get("mtp_vit_l_rvsa_448_samrs").task.train
+    assert mtp.optimizer.lr == 6e-5 and mtp.schedule.warmup_steps == 0
+    ii = configs.get("mtp_internimage_xl_448_samrs").task.train
+    assert ii.optimizer.lr == 2e-5 and ii.optimizer.layer_decay == 0.94
