@@ -130,6 +130,11 @@ def main(argv=None):
     p.add_argument("--list", action="store_true")
     p.add_argument("--steps", type=int, default=None,
                    help="override total steps")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="epoch-based run length (reference max_epochs, e.g. "
+                        "12 for detection): total steps = "
+                        "ceil(len(dataset)/batch) * epochs; needs "
+                        "--data-root")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--img-size", type=int, default=None,
                    help="override backbone image size (smoke runs)")
@@ -185,6 +190,29 @@ def main(argv=None):
     if args.batch_size:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size))
+    if args.epochs:
+        if not args.data_root:
+            raise SystemExit("--epochs needs --data-root (steps are "
+                             "computed from the dataset length)")
+        if args.steps:
+            raise SystemExit("pass --steps or --epochs, not both")
+        from mtp_tpu.data.bindings import build_dataset, build_samrs_loaders
+        bs = cfg.train.batch_size
+        if cfg.task == "multitask":
+            datasets, _, sizes = build_samrs_loaders(
+                args.data_root, cfg.backbone.img_size, bs, num_workers=0)
+            # zip of the 3 loaders ends at the shortest (reference
+            # main_pretrain.py:689 epoch semantics)
+            spe = min(-(-len(d) // s) for d, s in zip(datasets, sizes))
+        else:
+            built = build_dataset(recipe.dataset, cfg, args.data_root,
+                                  "train", train=True)
+            if built is None:
+                raise SystemExit(f"no train split under {args.data_root}")
+            spe = -(-len(built[0]) // bs)
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, schedule=dataclasses.replace(
+                cfg.train.schedule, total_steps=spe * args.epochs)))
     if args.img_size:
         cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
             cfg.backbone, img_size=args.img_size))

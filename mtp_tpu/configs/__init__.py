@@ -72,7 +72,8 @@ def _cls(backbone: BackboneConfig, num_classes: int, steps: int,
         train=TrainConfig(
             batch_size=64,
             optimizer=OptimizerConfig(lr=lr, weight_decay=0.05,
-                                      layer_decay=layer_decay),
+                                      layer_decay=layer_decay,
+                                      clip_norm=0.0),
             schedule=ScheduleConfig(kind="cosine", total_steps=steps,
                                     warmup_steps=steps // 20)))
 
@@ -87,7 +88,7 @@ def _seg(backbone: BackboneConfig, num_classes: int, steps: int = 80000,
         train=TrainConfig(
             batch_size=8,
             optimizer=OptimizerConfig(lr=lr, weight_decay=0.05,
-                                      layer_decay=0.9),
+                                      layer_decay=0.9, clip_norm=0.0),
             schedule=ScheduleConfig(kind="cosine", total_steps=steps,
                                     warmup_steps=1500)),
         slide=SlideConfig(crop=crop, stride=256))
@@ -100,21 +101,26 @@ def _cd(backbone: BackboneConfig, steps: int = 40000) -> TaskConfig:
     return TaskConfig(
         task="change_detection", num_classes=2, backbone=backbone,
         train=TrainConfig(
-            batch_size=8,
+            batch_size=32,  # 4/gpu × 8 ranks (README srun)
             optimizer=OptimizerConfig(lr=6e-5, weight_decay=0.05,
-                                      layer_decay=0.9),
+                                      layer_decay=0.9, clip_norm=0.0),
             schedule=ScheduleConfig(kind="cosine", total_steps=steps,
                                     warmup_steps=steps // 30)))
 
 
 def _det(backbone: BackboneConfig, num_classes: int, steps: int = 90000,
          lr: float = 1e-4, task: str = "detection_h") -> TaskConfig:
+    """Detection recipe shape.  Global batches follow the reference runs:
+    horizontal 2/gpu × 8 (auto_scale_lr base_batch_size=16,
+    faster_rcnn_..._dior.py:68), rotated 1/gpu × 4 ranks (README srun)."""
     return TaskConfig(
         task=task, num_classes=num_classes, backbone=backbone,
         train=TrainConfig(
-            batch_size=8,
+            batch_size=4 if task == "detection_r" else 16,
+            # reference detection finetunes run unclipped (no clip_grad in
+            # any mmdet/mmrotate mtp config)
             optimizer=OptimizerConfig(lr=lr, weight_decay=0.05,
-                                      layer_decay=0.9, clip_norm=35.0),
+                                      layer_decay=0.9, clip_norm=0.0),
             # reference detection finetunes: LinearLR warmup 500 iters +
             # MultiStepLR milestones [8, 11] of 12 epochs, gamma 0.1
             schedule=ScheduleConfig(kind="step", total_steps=steps,

@@ -156,7 +156,10 @@ def make_optimizer(cfg: OptimizerConfig, schedule: optax.Schedule, params: Any,
     scales = layer_decay_scales(params, depth, cfg.layer_decay, layer_id_fn,
                                 scan_interval)
     chain = [
-        optax.clip_by_global_norm(cfg.clip_norm),
+        # clip_norm <= 0 disables clipping (reference finetunes don't clip;
+        # pretraining clips at 5.0, main_pretrain.py:767)
+        optax.clip_by_global_norm(cfg.clip_norm) if cfg.clip_norm > 0
+        else optax.identity(),
         optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps),
         optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask(params)),
         _scale_by_pytree(scales),

@@ -60,3 +60,13 @@ def test_recipe_hyperparams_match_reference_configs():
     assert mtp.optimizer.lr == 6e-5 and mtp.schedule.warmup_steps == 0
     ii = configs.get("mtp_internimage_xl_448_samrs").task.train
     assert ii.optimizer.lr == 2e-5 and ii.optimizer.layer_decay == 0.94
+
+
+def test_epochs_flag_guards():
+    from mtp_tpu.cli.train import main as train_main
+    with pytest.raises(SystemExit, match="data-root"):
+        train_main(["vit-rvsa-b-224-mae-mtp_eurosat", "--epochs", "2",
+                    "--synthetic"])
+    with pytest.raises(SystemExit, match="not both"):
+        train_main(["vit-rvsa-b-224-mae-mtp_eurosat", "--epochs", "2",
+                    "--steps", "5", "--data-root", "/nonexistent"])
