@@ -165,7 +165,10 @@ def build_dataset(recipe_dataset: str, cfg, data_root: str,
             if f.lower().endswith((".png", ".jpg", ".tif")):
                 suffix = os.path.splitext(f)[1]
                 break
-        pipe = P.det_train_pipeline(s) if train else P.det_test_pipeline(s)
+        pipe = (P.det_train_pipeline(
+                    s, flip_prob=0.75,
+                    directions=("horizontal", "vertical", "diagonal"))
+                if train else P.det_test_pipeline(s))
         ds = RotatedDetection(img, ann, classes, fmt=fmt, img_suffix=suffix,
                               pipeline=pipe)
         def collate(samples):

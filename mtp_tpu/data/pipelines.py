@@ -48,7 +48,8 @@ def mtp_train_pipeline(size: int = 448) -> Callable[[Sample, np.random.Generator
         s = T.random_flip(sample, rng, prob=0.75,
                           directions=("horizontal", "vertical", "diagonal"))
         s = T.random_resize(s, (size, size), (0.5, 2.0), rng, keep_ratio=True)
-        s = T.random_crop(s, (size, size), rng)
+        s = T.random_crop(s, (size, size), rng, recompute_bbox=True,
+                          allow_negative=True)
         s = filter_small_instances(s)
         s = T.photometric_distortion(s, rng)
         s = T.normalize(s)
@@ -94,12 +95,13 @@ def cls_test_pipeline(size: int = 224):
 
 
 def seg_train_pipeline(crop: int = 512, ratio_range=(0.5, 2.0)):
-    """mmseg recipe: RandomResize + RandomCrop + flip + PhotoMetric +
-    normalize + pad (seg ignore pad 255)."""
+    """mmseg recipe (e.g. spacenetv1 config :22-34): RandomResize
+    scale=crop ratio (0.5, 2.0) + RandomCrop cat_max_ratio 0.75 + flip +
+    PhotoMetric + normalize + pad (seg ignore pad 255)."""
 
     def fn(sample: Sample, rng: np.random.Generator) -> Sample:
-        s = T.random_resize(sample, (crop * 2, crop * 2), ratio_range, rng)
-        s = T.random_crop(s, (crop, crop), rng)
+        s = T.random_resize(sample, (crop, crop), ratio_range, rng)
+        s = T.random_crop(s, (crop, crop), rng, cat_max_ratio=0.75)
         s = T.random_flip(s, rng, prob=0.5)
         s = T.photometric_distortion(s, rng)
         s = T.normalize(s)
@@ -117,14 +119,17 @@ def seg_test_pipeline(size: int = None):
     return fn
 
 
-def det_train_pipeline(size: int = 800, flip_prob: float = 0.5):
+def det_train_pipeline(size: int = 800, flip_prob: float = 0.5,
+                       directions=("horizontal",)):
     """Detection finetune train pipeline (reference mmdet/mmrotate configs:
-    Resize keep-ratio to (size, size) → RandomFlip 0.5 → Normalize → Pad).
+    Resize keep-ratio to (size, size) → RandomFlip → Normalize → Pad).
+    Horizontal det flips 0.5 horizontal; rotated det 0.75 over
+    horizontal/vertical/diagonal (oriented_rcnn_..._diorr.py:76-79).
     Joint on hboxes/rboxes/masks via the label-aware transforms."""
 
     def fn(sample: Sample, rng: np.random.Generator) -> Sample:
         s = T.resize(sample, (size, size), keep_ratio=True)
-        s = T.random_flip(s, rng, prob=flip_prob, directions=("horizontal",))
+        s = T.random_flip(s, rng, prob=flip_prob, directions=directions)
         s = filter_small_instances(s)
         s = T.normalize(s)
         return T.pad_to(s, (size, size))
@@ -143,21 +148,34 @@ def det_test_pipeline(size: int = 800):
 
 def cd_train_pipeline(crop: int = 256):
     """Dual-image pipeline: identical geometry on A/B, photometric jitter
-    applied independently (open-cd MultiImg* semantics)."""
+    applied independently (open-cd MultiImg* semantics; levir config
+    :27-40: RandomRotFlip(rot 0.5, flip 0.5, ±20°) + RandomCrop
+    cat_max_ratio 0.75 + ExchangeTime 0.5 + soft PhotoMetricDistortion)."""
 
     def fn(sample, rng: np.random.Generator):
         # treat as a joint sample with image=A and a mirror for B
         sa = {"image": sample["image_a"], "sem_seg": sample["label"]}
         sb = {"image": sample["image_b"], "sem_seg": sample["label"]}
         seed = int(rng.integers(0, 2 ** 31))
-        r1 = np.random.default_rng(seed)
-        r2 = np.random.default_rng(seed)  # same geometric draws
-        sa = T.random_flip(sa, r1, prob=0.5, directions=("horizontal", "vertical"))
-        sb = T.random_flip(sb, r2, prob=0.5, directions=("horizontal", "vertical"))
-        sa = T.random_crop(sa, (crop, crop), np.random.default_rng(seed + 1))
-        sb = T.random_crop(sb, (crop, crop), np.random.default_rng(seed + 1))
-        pa = T.photometric_distortion(sa, rng)
-        pb = T.photometric_distortion(sb, rng)
+
+        def geom(s, r):
+            s = T.random_rotate(s, r, (-20.0, 20.0), prob=0.5)
+            s = T.random_flip(s, r, prob=0.5,
+                              directions=("horizontal", "vertical"))
+            return T.random_crop(s, (crop, crop), r, cat_max_ratio=0.75)
+
+        sa = geom(sa, np.random.default_rng(seed))  # same geometric draws
+        sb = geom(sb, np.random.default_rng(seed))
+        if rng.uniform() < 0.5:  # MultiImgExchangeTime
+            sa, sb = sb, sa
+        pa = T.photometric_distortion(sa, rng, brightness_delta=10,
+                                      contrast_range=(0.8, 1.2),
+                                      saturation_range=(0.8, 1.2),
+                                      hue_delta=10)
+        pb = T.photometric_distortion(sb, rng, brightness_delta=10,
+                                      contrast_range=(0.8, 1.2),
+                                      saturation_range=(0.8, 1.2),
+                                      hue_delta=10)
         pa = T.normalize(pa)
         pb = T.normalize(pb)
         return {"image_a": pa["image"], "image_b": pb["image"],

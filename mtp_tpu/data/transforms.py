@@ -197,17 +197,52 @@ def crop(sample: Sample, y0: int, x0: int, h: int, w: int,
 
 def random_crop(sample: Sample, size: Tuple[int, int],
                 rng: np.random.Generator, cat_max_ratio: float = 1.0,
-                max_tries: int = 10) -> Sample:
+                max_tries: int = 10, recompute_bbox: bool = False,
+                allow_negative: bool = False) -> Sample:
     """Random crop with resample-on-empty (reference data_augs loop
-    utils.py:114-131 + MTP_RandomCrop)."""
+    utils.py:114-131 + MTP_RandomCrop).  cat_max_ratio < 1 additionally
+    rejects crops where one semantic class covers more than that fraction
+    (mmseg RandomCrop cat_max_ratio, e.g. 0.75 in the seg recipes).
+    recompute_bbox/allow_negative mirror MTP_RandomCrop's flags in the
+    pretraining pipeline (utils.py:48-51: recompute_bbox=True,
+    allow_negative_crop=True)."""
     H, W = sample["image"].shape[:2]
     ch, cw = min(size[0], H), min(size[1], W)
+    fallback = None
     for _ in range(max_tries):
         y0 = int(rng.integers(0, H - ch + 1))
         x0 = int(rng.integers(0, W - cw + 1))
-        c = crop(sample, y0, x0, ch, cw)
-        if c is not None:
-            return c
+        c = crop(sample, y0, x0, ch, cw,
+                 recompute_bbox_from_mask=recompute_bbox)
+        if c is None:
+            if allow_negative:  # keep the crop with zero instances
+                c = dict(sample,
+                         image=sample["image"][y0:y0 + ch, x0:x0 + cw].copy())
+                if "sem_seg" in sample:
+                    c["sem_seg"] = \
+                        sample["sem_seg"][y0:y0 + ch, x0:x0 + cw].copy()
+                empty = {"hboxes": np.zeros((0, 4), np.float32),
+                         "labels": np.zeros((0,), np.int64),
+                         "masks": np.zeros((0, ch, cw), np.uint8),
+                         "rboxes": np.zeros((0, 5), np.float32),
+                         "rlabels": np.zeros((0,), np.int64)}
+                for k, v in empty.items():
+                    if k in sample and sample[k] is not None:
+                        c[k] = v
+                return c
+            continue
+        if cat_max_ratio < 1.0 and "sem_seg" in c:
+            labels, counts = np.unique(c["sem_seg"], return_counts=True)
+            counts = counts[labels != 255]
+            # mmseg accepts only multi-class crops under the ratio; after
+            # max_tries the last valid crop is kept (mmseg keeps its last)
+            if not (len(counts) > 1
+                    and counts.max() / counts.sum() <= cat_max_ratio):
+                fallback = c
+                continue
+        return c
+    if fallback is not None:
+        return fallback
     # fall back to an unfiltered center crop
     c = crop(sample, (H - ch) // 2, (W - cw) // 2, ch, cw)
     return c if c is not None else dict(
@@ -228,6 +263,31 @@ def masks_to_boxes(masks: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # photometric distortion (reference MTP_PhotoMetricDistortion :1252)
 # ---------------------------------------------------------------------------
+
+def random_rotate(sample: Sample, rng: np.random.Generator,
+                  degree_range: Tuple[float, float] = (-20.0, 20.0),
+                  prob: float = 0.5, seg_fill: int = 255) -> Sample:
+    """Arbitrary-angle rotation of image (bilinear) + sem_seg (nearest,
+    fill=ignore).  Reference: open-cd MultiImgRandomRotFlip degree=(-20,20)
+    / mmseg RandomRotate.  Box/mask samples are not supported (the
+    reference only rotates in seg-style pipelines)."""
+    if rng.uniform() >= prob:
+        return sample
+    from PIL import Image
+    angle = float(rng.uniform(*degree_range))
+    out = dict(sample)
+    img = np.asarray(sample["image"], np.float32)
+    out["image"] = np.stack(
+        [np.asarray(Image.fromarray(img[..., c], mode="F").rotate(
+            angle, resample=Image.BILINEAR, fillcolor=0.0))
+         for c in range(img.shape[-1])], -1)
+    if "sem_seg" in sample:
+        seg = Image.fromarray(sample["sem_seg"].astype(np.int32), mode="I")
+        out["sem_seg"] = np.asarray(
+            seg.rotate(angle, resample=Image.NEAREST, fillcolor=seg_fill)
+        ).astype(sample["sem_seg"].dtype)
+    return out
+
 
 def photometric_distortion(sample: Sample, rng: np.random.Generator,
                            brightness_delta: float = 32,

@@ -122,3 +122,26 @@ def test_loader_multiprocess_error_propagates():
                     num_workers=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader.epoch(0))
+
+
+def test_cd_pipeline_ab_geometry_aligned():
+    """Rotation/flip/crop draws must be identical on A and B (open-cd
+    MultiImg semantics): a bright spot lands at the same place in both."""
+    from mtp_tpu.data.pipelines import cd_train_pipeline
+    rng = np.random.default_rng(3)
+    img = np.zeros((128, 128, 3), np.float32)
+    img[90:96, 20:26] = 255.0
+    label = np.zeros((128, 128), np.int32)
+    label[90:96, 20:26] = 1
+    label[:, 64:] = 1  # ensure multi-class crops exist for cat_max_ratio
+    pipe = cd_train_pipeline(crop=64)
+    for _ in range(8):
+        out = pipe({"image_a": img.copy(), "image_b": img.copy(),
+                    "label": label.copy()}, rng)
+        a, b = out["image_a"], out["image_b"]
+        assert a.shape == (64, 64, 3) and b.shape == (64, 64, 3)
+        # photometric differs per image but is pixel-wise: the spot (if in
+        # crop) must sit at identical coordinates
+        ya, xa = np.unravel_index(np.argmax(a.sum(-1)), a.shape[:2])
+        yb, xb = np.unravel_index(np.argmax(b.sum(-1)), b.shape[:2])
+        assert (ya, xa) == (yb, xb)

@@ -96,3 +96,61 @@ def test_photometric_shapes():
     assert p["image"].min() >= 0 and p["image"].max() <= 255
     # labels untouched
     np.testing.assert_array_equal(p["hboxes"], s["hboxes"])
+
+
+def test_random_crop_cat_max_ratio():
+    """mmseg RandomCrop cat_max_ratio: reject crops dominated by one class
+    (seg recipes use 0.75)."""
+    from mtp_tpu.data import transforms as T
+    seg = np.zeros((64, 64), np.int32)
+    seg[:, 32:] = 1  # two half-planes
+    s = {"image": np.zeros((64, 64, 3), np.float32), "sem_seg": seg}
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        c = T.random_crop(s, (32, 32), rng, cat_max_ratio=0.75,
+                          max_tries=50)
+        _, counts = np.unique(c["sem_seg"], return_counts=True)
+        assert len(counts) == 2 and counts.max() / counts.sum() <= 0.75
+
+
+def test_flip_rbox_vertical_and_diagonal():
+    from mtp_tpu.data import transforms as T
+    s = {"image": np.zeros((100, 60, 3), np.float32),
+         "rboxes": np.asarray([[10.0, 20.0, 8.0, 4.0, 0.3]], np.float32)}
+    v = T.flip(s, "vertical")
+    np.testing.assert_allclose(v["rboxes"][0], [10, 80, 8, 4, -0.3])
+    d = T.flip(s, "diagonal")
+    np.testing.assert_allclose(d["rboxes"][0], [50, 80, 8, 4, 0.3])
+
+
+def test_random_crop_allow_negative_and_recompute():
+    """MTP_RandomCrop pretraining flags (utils.py:48-51): empty crops kept
+    with zero-length instance arrays; boxes recomputed from cropped masks."""
+    from mtp_tpu.data import transforms as T
+    masks = np.zeros((1, 64, 64), np.uint8)
+    masks[0, 4:10, 4:12] = 1
+    s = {"image": np.zeros((64, 64, 3), np.float32),
+         "hboxes": np.asarray([[4, 4, 12, 10]], np.float32),
+         "labels": np.asarray([0], np.int64), "masks": masks,
+         "rboxes": np.asarray([[8, 7, 8, 6, 0.0]], np.float32),
+         "rlabels": np.asarray([1], np.int64)}
+    # force a crop region with no instances: crop the bottom-right corner
+    c = T.crop(s, 32, 32, 32, 32)
+    assert c is None  # default: resample signal
+    rng = np.random.default_rng(0)
+    got_empty = False
+    for _ in range(50):
+        c = T.random_crop(s, (32, 32), rng, allow_negative=True,
+                          recompute_bbox=True)
+        assert c is not None
+        if len(c["hboxes"]) == 0:
+            got_empty = True
+            assert c["masks"].shape == (0, 32, 32)
+            assert len(c["rboxes"]) == 0
+        else:
+            # recomputed box == tight box of the cropped mask
+            ys, xs = np.nonzero(c["masks"][0])
+            np.testing.assert_allclose(
+                c["hboxes"][0],
+                [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+    assert got_empty
