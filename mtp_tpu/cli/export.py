@@ -19,7 +19,6 @@ Per task family the exported signature is:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 
@@ -120,34 +119,14 @@ def main(argv=None):
     import jax
     from jax import export as jax_export
     from mtp_tpu import configs
-    from mtp_tpu.cli.train import build_task
+    from mtp_tpu.cli.train import build_task, init_or_restore, shrink_recipe
     from mtp_tpu.serving import save_artifact, spec_of
 
-    recipe = configs.get(args.recipe)
-    if args.img_size:
-        rcfg = recipe.task
-        rcfg = dataclasses.replace(rcfg, backbone=dataclasses.replace(
-            rcfg.backbone, img_size=args.img_size))
-        if rcfg.slide is not None and rcfg.slide.crop > args.img_size:
-            from mtp_tpu.utils.config import SlideConfig
-            rcfg = dataclasses.replace(rcfg, slide=SlideConfig(
-                crop=args.img_size, stride=max(args.img_size // 2, 1)))
-        recipe = dataclasses.replace(recipe, task=rcfg)
+    recipe = shrink_recipe(configs.get(args.recipe), args.img_size)
     det_overrides = (json.loads(args.det_overrides)
                      if args.det_overrides else None)
     task, cfg = build_task(recipe, 1, 1, det_overrides)
-
-    pretrained = None
-    if args.ckpt and args.ckpt.endswith(".npz"):
-        from mtp_tpu.ckpt.store import load_encoder
-        pretrained = load_encoder(args.ckpt)
-    state = task.init_state(jax.random.PRNGKey(0),
-                            pretrained_backbone=pretrained)
-    if args.ckpt and not args.ckpt.endswith(".npz"):
-        from mtp_tpu.ckpt.store import CheckpointStore
-        restored = CheckpointStore(args.ckpt).restore(state)
-        if restored is not None:
-            state = restored
+    state = init_or_restore(task, args.ckpt)
 
     fn, weights_of, inputs, out_desc = build_export_fn(task, cfg)
     weights = jax.tree.map(np.asarray, weights_of(state))
@@ -155,7 +134,7 @@ def main(argv=None):
     in_specs = [jax.ShapeDtypeStruct((B,) + tuple(shape[1:]),
                                      np.dtype(dt))
                 for _, shape, dt in inputs]
-    platforms = (tuple(args.platforms.split(","))
+    platforms = (tuple(p.strip() for p in args.platforms.split(","))
                  if args.platforms else None)
     exported = jax_export.export(fn, platforms=platforms)(
         spec_of(weights), *in_specs)

@@ -11,7 +11,6 @@ capability (segmentation PNGs and box overlays).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -119,7 +118,9 @@ def run_format_only(task, state, cfg, recipe, args):
         h, w = img.shape[:2]
         s = {"image": img}
         s = T.resize(s, (S, S), keep_ratio=True)
-        scale = min(S / w, S / h)
+        # the factor T.resize actually applied (rounded dims), not the
+        # ideal min(S/w, S/h) — keeps submission coords exact
+        scale = s["image"].shape[1] / w
         s = T.pad_to(T.normalize(s), (S, S))
         stack.append(s["image"])
         stems.append(os.path.splitext(f)[0])
@@ -167,8 +168,8 @@ def main(argv=None):
                         "and write a DOTA Task1 submission (reference "
                         "tools/test.py --format-only)")
     p.add_argument("--submission-dir", default=None,
-                   help="output dir for the submission (default "
-                        "<work>/submit); also zipped")
+                   help="output dir for the submission (default ./submit); "
+                        "also zipped")
     p.add_argument("--merge-iou", type=float, default=0.1,
                    help="per-class NMS IoU for the patch merge")
     p.add_argument("--rescale-by-rate", action="store_true",
@@ -178,35 +179,14 @@ def main(argv=None):
                    help="also write the FAIR1M per-image xml tree")
     args = p.parse_args(argv)
 
-    import jax
     from mtp_tpu import configs
-    from mtp_tpu.cli.train import build_task, synthetic_data
+    from mtp_tpu.cli.train import (build_task, init_or_restore,
+                                   shrink_recipe, synthetic_data)
 
-    recipe = configs.get(args.recipe)
-    if args.img_size:
-        rcfg = recipe.task
-        rcfg = dataclasses.replace(rcfg, backbone=dataclasses.replace(
-            rcfg.backbone, img_size=args.img_size))
-        if rcfg.slide is not None and rcfg.slide.crop > args.img_size:
-            from mtp_tpu.utils.config import SlideConfig
-            rcfg = dataclasses.replace(rcfg, slide=SlideConfig(
-                crop=args.img_size, stride=max(args.img_size // 2, 1)))
-        recipe = dataclasses.replace(recipe, task=rcfg)
+    recipe = shrink_recipe(configs.get(args.recipe), args.img_size)
     task, cfg = build_task(recipe, args.mesh_data, 1)
     batch_size = args.batch_size or cfg.train.batch_size
-
-    pretrained = None
-    if args.ckpt and args.ckpt.endswith(".npz"):
-        from mtp_tpu.ckpt.store import load_encoder
-        pretrained = load_encoder(args.ckpt)
-    state = task.init_state(jax.random.PRNGKey(0),
-                            pretrained_backbone=pretrained)
-    if args.ckpt and not args.ckpt.endswith(".npz"):
-        from mtp_tpu.ckpt.store import CheckpointStore
-        store = CheckpointStore(args.ckpt)
-        restored = store.restore(state)
-        if restored is not None:
-            state = restored
+    state = init_or_restore(task, args.ckpt)
 
     if args.format_only:
         if cfg.task != "detection_r":

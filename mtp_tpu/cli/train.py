@@ -50,6 +50,40 @@ def build_task(recipe, mesh_data: int, mesh_model: int,
                      f"use the task API directly")
 
 
+def shrink_recipe(recipe, img_size):
+    """--img-size override for eval/export CLIs: smaller backbone input,
+    slide crop clamped to fit."""
+    if not img_size:
+        return recipe
+    cfg = recipe.task
+    cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+        cfg.backbone, img_size=img_size))
+    if cfg.slide is not None and cfg.slide.crop > img_size:
+        from mtp_tpu.utils.config import SlideConfig
+        cfg = dataclasses.replace(cfg, slide=SlideConfig(
+            crop=img_size, stride=max(img_size // 2, 1)))
+    return dataclasses.replace(recipe, task=cfg)
+
+
+def init_or_restore(task, ckpt):
+    """Fresh state, optionally loaded from an encoder .npz (pretrained
+    backbone) or an orbax checkpoint dir (full state)."""
+    import jax
+
+    pretrained = None
+    if ckpt and ckpt.endswith(".npz"):
+        from mtp_tpu.ckpt.store import load_encoder
+        pretrained = load_encoder(ckpt)
+    state = task.init_state(jax.random.PRNGKey(0),
+                            pretrained_backbone=pretrained)
+    if ckpt and not ckpt.endswith(".npz"):
+        from mtp_tpu.ckpt.store import CheckpointStore
+        restored = CheckpointStore(ckpt).restore(state)
+        if restored is not None:
+            state = restored
+    return state
+
+
 def synthetic_data(cfg, batch_size: int):
     """Synthetic batches for --synthetic smoke runs (shape-compatible with
     the recipe)."""
@@ -190,29 +224,6 @@ def main(argv=None):
     if args.batch_size:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size))
-    if args.epochs:
-        if not args.data_root:
-            raise SystemExit("--epochs needs --data-root (steps are "
-                             "computed from the dataset length)")
-        if args.steps:
-            raise SystemExit("pass --steps or --epochs, not both")
-        from mtp_tpu.data.bindings import build_dataset, build_samrs_loaders
-        bs = cfg.train.batch_size
-        if cfg.task == "multitask":
-            datasets, _, sizes = build_samrs_loaders(
-                args.data_root, cfg.backbone.img_size, bs, num_workers=0)
-            # zip of the 3 loaders ends at the shortest (reference
-            # main_pretrain.py:689 epoch semantics)
-            spe = min(-(-len(d) // s) for d, s in zip(datasets, sizes))
-        else:
-            built = build_dataset(recipe.dataset, cfg, args.data_root,
-                                  "train", train=True)
-            if built is None:
-                raise SystemExit(f"no train split under {args.data_root}")
-            spe = -(-len(built[0]) // bs)
-        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-            cfg.train, schedule=dataclasses.replace(
-                cfg.train.schedule, total_steps=spe * args.epochs)))
     if args.img_size:
         cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
             cfg.backbone, img_size=args.img_size))
@@ -220,6 +231,24 @@ def main(argv=None):
             from mtp_tpu.utils.config import SlideConfig
             cfg = dataclasses.replace(cfg, slide=SlideConfig(
                 crop=args.img_size, stride=max(args.img_size // 2, 1)))
+    if args.epochs:
+        if not args.data_root:
+            raise SystemExit("--epochs needs --data-root (steps are "
+                             "computed from the dataset length)")
+        if args.steps:
+            raise SystemExit("pass --steps or --epochs, not both")
+        from mtp_tpu.data.bindings import (dataset_lengths_and_batches)
+        bs = cfg.train.batch_size
+        lengths, sizes = dataset_lengths_and_batches(
+            recipe, cfg, args.data_root, bs, alloc=args.alloc,
+            max_gts=args.max_gts)
+        # multitask: zip of the 3 loaders ends at the shortest (reference
+        # main_pretrain.py:689 epoch semantics); min() is a no-op for the
+        # single-dataset tasks
+        spe = min(-(-n // s) for n, s in zip(lengths, sizes))
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, schedule=dataclasses.replace(
+                cfg.train.schedule, total_steps=spe * args.epochs)))
     recipe = dataclasses.replace(recipe, task=cfg)
 
     det_overrides = json.loads(args.det_overrides) if args.det_overrides else None

@@ -62,11 +62,25 @@ def collate_cd(samples) -> Dict[str, np.ndarray]:
             "label": np.stack([s["label"] for s in samples]).astype(np.int32)}
 
 
+_DATASET_CACHE: Dict[tuple, object] = {}
+
+
 def build_dataset(recipe_dataset: str, cfg, data_root: str,
                   split: str = "train", train: bool = True,
                   max_gts: int = 100):
     """(dataset, collate_fn) for one split, or None if the split is absent
-    on disk."""
+    on disk.  Memoized — the CLI probes lengths (--epochs) before building
+    the training loader and annotation parsing shouldn't run twice."""
+    key = (recipe_dataset, cfg.task, cfg.backbone.img_size,
+           os.path.abspath(data_root), split, train, max_gts)
+    if key not in _DATASET_CACHE:
+        _DATASET_CACHE[key] = _build_dataset(recipe_dataset, cfg, data_root,
+                                             split, train, max_gts)
+    return _DATASET_CACHE[key]
+
+
+def _build_dataset(recipe_dataset: str, cfg, data_root: str,
+                   split: str, train: bool, max_gts: int):
     s = cfg.backbone.img_size
     task = cfg.task
     name = recipe_dataset
@@ -182,14 +196,16 @@ _SAMRS = (("sota", SOTA_CLASSES), ("sior", SIOR_CLASSES),
           ("fast", FAST_CLASSES))
 
 
-def build_samrs_loaders(data_root: str, img_size: int, batch_size: int,
-                        split: str = "train", train: bool = True,
-                        max_gts: int = 100, alloc: str = "ratio",
-                        num_workers: int = 0):
-    """The 3 SAMRS per-dataset loaders + per-dataset batch sizes (reference
-    main_pretrain.py batch allocation)."""
-    from mtp_tpu.tasks.multitask import allocate_batch_sizes
+# annotation parsing is the expensive part of dataset construction; the CLI
+# may need lengths (--epochs) before it builds the training loaders, so the
+# built dataset objects are memoized per (root, img_size, split, train)
+_SAMRS_CACHE: Dict[tuple, list] = {}
 
+
+def _samrs_datasets(data_root: str, img_size: int, split: str, train: bool):
+    key = (os.path.abspath(data_root), img_size, split, train)
+    if key in _SAMRS_CACHE:
+        return _SAMRS_CACHE[key]
     pipe = (P.mtp_train_pipeline(img_size) if train
             else P.mtp_valid_pipeline(img_size))
     datasets = []
@@ -210,6 +226,19 @@ def build_samrs_loaders(data_root: str, img_size: int, batch_size: int,
             os.path.join(base, "images"), ins, os.path.join(base, "segs"),
             rot or os.path.join(base, "rots"), classes, rot_format=fmt,
             pipeline=pipe))
+    _SAMRS_CACHE[key] = datasets
+    return datasets
+
+
+def build_samrs_loaders(data_root: str, img_size: int, batch_size: int,
+                        split: str = "train", train: bool = True,
+                        max_gts: int = 100, alloc: str = "ratio",
+                        num_workers: int = 0):
+    """The 3 SAMRS per-dataset loaders + per-dataset batch sizes (reference
+    main_pretrain.py batch allocation)."""
+    from mtp_tpu.tasks.multitask import allocate_batch_sizes
+
+    datasets = _samrs_datasets(data_root, img_size, split, train)
     sizes = allocate_batch_sizes(batch_size, [len(d) for d in datasets],
                                  mode=alloc)
     loaders = [Loader(d, bs, lambda ss: collate_multitask(ss, max_gts),
@@ -224,6 +253,27 @@ def samrs_iterator(loaders) -> Iterator[Dict[str, Dict[str, np.ndarray]]]:
     its = [l.forever() for l in loaders]
     while True:
         yield {f"d{d}": next(it) for d, it in enumerate(its)}
+
+
+def dataset_lengths_and_batches(recipe, cfg, data_root: str,
+                                batch_size: int, alloc: str = "ratio",
+                                max_gts: int = 100):
+    """([len(ds), ...], [per-dataset batch, ...]) for --epochs step sizing;
+    multitask returns the 3 SAMRS entries under the SAME allocation the
+    training loaders will use, single-task one entry.  Uses the memoized
+    builders, so the later build_train_data reuses the parsed datasets."""
+    if cfg.task == "multitask":
+        from mtp_tpu.tasks.multitask import allocate_batch_sizes
+        datasets = _samrs_datasets(data_root, cfg.backbone.img_size,
+                                   "train", True)
+        lengths = [len(d) for d in datasets]
+        return lengths, list(allocate_batch_sizes(batch_size, lengths,
+                                                  mode=alloc))
+    built = build_dataset(recipe.dataset, cfg, data_root, "train",
+                          train=True, max_gts=max_gts)
+    if built is None:
+        raise SystemExit(f"no train split under {data_root}")
+    return [len(built[0])], [batch_size]
 
 
 def build_train_data(recipe, cfg, data_root: str, batch_size: int,

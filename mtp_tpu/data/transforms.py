@@ -271,6 +271,10 @@ def random_rotate(sample: Sample, rng: np.random.Generator,
     fill=ignore).  Reference: open-cd MultiImgRandomRotFlip degree=(-20,20)
     / mmseg RandomRotate.  Box/mask samples are not supported (the
     reference only rotates in seg-style pipelines)."""
+    if _has(sample, "hboxes") or _has(sample, "rboxes") \
+            or _has(sample, "masks"):
+        raise ValueError("random_rotate only supports image+sem_seg "
+                         "samples (box/mask geometry is not rotated)")
     if rng.uniform() >= prob:
         return sample
     from PIL import Image

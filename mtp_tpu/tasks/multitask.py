@@ -41,16 +41,21 @@ def allocate_batch_sizes(total: int, lengths: Sequence[int],
     else:
         tot_len = sum(lengths)
         sizes = [max(1, round(total * l / tot_len)) for l in lengths]
-    # spread rounding drift one sample at a time, largest dataset first
+    # spread rounding drift one sample at a time, largest dataset first;
+    # never decrement a dataset below 1
     drift = total - sum(sizes)
-    order = np.argsort([-l for l in lengths])
+    order = [int(i) for i in np.argsort([-l for l in lengths])]
     i = 0
-    while drift != 0:
-        step = 1 if drift > 0 else -1
-        sizes[order[i % n]] += step
-        drift -= step
+    while drift != 0 and i < 10 * n:
+        j = order[i % n]
         i += 1
-    if min(sizes) < 1:
+        if drift > 0:
+            sizes[j] += 1
+            drift -= 1
+        elif sizes[j] > 1:
+            sizes[j] -= 1
+            drift += 1
+    if min(sizes) < 1 or sum(sizes) != total:
         raise ValueError(f"batch {total} too small for {n} datasets")
     return tuple(sizes)
 

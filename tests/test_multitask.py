@@ -128,3 +128,8 @@ def test_allocate_batch_sizes():
     assert allocate_batch_sizes(24, (1, 1, 1), mode="avg") == (8, 8, 8)
     # rounding drift spreads instead of landing on one dataset
     assert allocate_batch_sizes(8, (8, 4, 4), mode="avg") == (3, 3, 2)
+    # negative drift never starves a min-size dataset
+    assert allocate_batch_sizes(4, (100, 1, 1), mode="ratio") == (2, 1, 1)
+    import pytest
+    with pytest.raises(ValueError):
+        allocate_batch_sizes(2, (5, 5, 5), mode="avg")
