@@ -96,40 +96,56 @@ def run_format_only(task, state, cfg, recipe, args):
     predict = task.predict_fn()
     per_patch = {}
 
-    def flush(stack, stems, scales):
+    def add(stem, boxes, scores, labels):
+        rec = per_patch.setdefault(
+            stem, {"det_boxes": [], "det_scores": [], "det_labels": []})
+        rec["det_boxes"].append(boxes)
+        rec["det_scores"].append(scores)
+        rec["det_labels"].append(labels)
+
+    def flush(stack, metas):
         n = len(stack)
         while len(stack) < B:  # fixed shape for the jitted program
             stack.append(stack[0])
         dets = predict(state.params, np.stack(stack))
         for i in range(n):
+            stem, scale, flipped, nw = metas[i]
             v = np.asarray(dets.valid[i])
             b = np.asarray(dets.boxes[i])[v].astype(np.float64)
             if len(b):
-                b[:, :4] /= scales[i]  # back to patch pixels
-            per_patch[stems[i]] = {
-                "det_boxes": b,
-                "det_scores": np.asarray(dets.scores[i])[v],
-                "det_labels": np.asarray(dets.labels[i])[v],
-            }
+                if flipped:  # un-mirror: content occupies [0, nw)
+                    b[:, 0] = nw - b[:, 0]
+                    b[:, 4] = -b[:, 4]
+                b[:, :4] /= scale  # back to patch pixels
+            add(stem, b, np.asarray(dets.scores[i])[v],
+                np.asarray(dets.labels[i])[v])
 
-    stack, stems, scales = [], [], []
+    stack, metas = [], []
     for f in files:
         img = imread(os.path.join(img_dir, f))
         h, w = img.shape[:2]
-        s = {"image": img}
-        s = T.resize(s, (S, S), keep_ratio=True)
-        # the factor T.resize actually applied (rounded dims), not the
-        # ideal min(S/w, S/h) — keeps submission coords exact
-        scale = s["image"].shape[1] / w
-        s = T.pad_to(T.normalize(s), (S, S))
-        stack.append(s["image"])
-        stems.append(os.path.splitext(f)[0])
-        scales.append(scale)
-        if len(stack) == B:
-            flush(stack, stems, scales)
-            stack, stems, scales = [], [], []
+        stem = os.path.splitext(f)[0]
+        variants = [(img, False)]
+        if args.tta_flip:  # reference MultiScaleFlipAug flip=True
+            variants.append((img[:, ::-1].copy(), True))
+        for im, flipped in variants:
+            s = T.resize({"image": im}, (S, S), keep_ratio=True)
+            # the factor T.resize actually applied (rounded dims), not the
+            # ideal min(S/w, S/h) — keeps submission coords exact
+            nw = s["image"].shape[1]
+            scale = nw / w
+            s = T.pad_to(T.normalize(s), (S, S))
+            stack.append(s["image"])
+            metas.append((stem, scale, flipped, nw))
+            if len(stack) == B:
+                flush(stack, metas)
+                stack, metas = [], []
     if stack:
-        flush(stack, stems, scales)
+        flush(stack, metas)
+
+    # collapse TTA variants before the cross-patch merge
+    per_patch = {stem: {k: np.concatenate(v[k]) if v[k] else np.zeros(0)
+                        for k in v} for stem, v in per_patch.items()}
 
     merged = merge_dota_patches(per_patch, len(classes),
                                 nms_iou=args.merge_iou,
@@ -170,6 +186,10 @@ def main(argv=None):
     p.add_argument("--submission-dir", default=None,
                    help="output dir for the submission (default ./submit); "
                         "also zipped")
+    p.add_argument("--tta-flip", action="store_true",
+                   help="format-only: horizontal-flip TTA per patch "
+                        "(reference MultiScaleFlipAug flip=True; the "
+                        "multi-SCALE part comes from multi-rate tiling)")
     p.add_argument("--merge-iou", type=float, default=0.1,
                    help="per-class NMS IoU for the patch merge")
     p.add_argument("--rescale-by-rate", action="store_true",

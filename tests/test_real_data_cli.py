@@ -152,7 +152,7 @@ def test_cli_format_only_submission(tmp_path, capsys):
         _img(img_dir / f"{name}.png", seed=seed)
     argv = ["oriented_rcnn_rvsa_b_1024_mae_mtp_dota10",
             "--data-root", str(tmp_path), "--split", "test",
-            "--format-only", "--fair1m", "--rescale-by-rate",
+            "--format-only", "--fair1m", "--rescale-by-rate", "--tta-flip",
             "--img-size", "64", "--batch-size", "2", "--mesh-data", "1",
             "--submission-dir", str(tmp_path / "submit")]
     assert test_main(argv) == 0
