@@ -503,3 +503,43 @@ def init_backbone(cfg: BackboneConfig, rng: jax.Array,
     model = ViTRVSA(cfg)
     variables = model.init(rng, jnp.zeros((1, H, W, cfg.in_chans), jnp.float32))
     return rescale_block_init(variables["params"], cfg.depth)
+
+
+def backbone_flops(cfg: BackboneConfig,
+                   input_hw: Optional[Tuple[int, int]] = None) -> float:
+    """Analytic forward-FLOPs estimate for the RVSA backbone (the analog of
+    the reference's per-module `flops()` methods,
+    vit_win_rvsa_v3_wsz7.py:447-477 + Attention/Mlp counts): patch embed,
+    per-block qkv/proj/mlp, window-attention score/value matmuls, RVSA
+    sampling (pool + offset/scale/angle regression + grid sample), and the
+    quadratic full-attention blocks every `interval`."""
+    H, W = input_hw or (cfg.img_size, cfg.img_size)
+    ph = pw = cfg.patch_size
+    h, w = H // ph, W // pw
+    D, nH = cfg.embed_dim, cfg.num_heads
+    ws = cfg.window_size
+    hp = (h + ws - 1) // ws * ws
+    wp = (w + ws - 1) // ws * ws
+    n_tok, n_pad = h * w, hp * wp
+    N = ws * ws
+
+    patch_embed = H * W * cfg.in_chans * D * ph * pw // (ph * pw)
+    per_tok_dense = (3 * D * D) + (D * D) + 2 * D * int(D * cfg.mlp_ratio)
+    flops = float(patch_embed)
+    n_windows = (hp // ws) * (wp // ws)
+    for i in range(cfg.depth):
+        full = (i + 1) % cfg.interval == 0
+        flops += n_tok * per_tok_dense  # qkv + proj + mlp
+        if full:
+            flops += 2 * nH * n_tok * n_tok * (D // nH)  # QK^T + PV
+        else:
+            flops += n_windows * (2 * nH * N * N * (D // nH))
+            # RVSA sampling: avg-pool, offset/scale/angle 1x1 convs on the
+            # pooled map, grid construction, bilinear K/V gather
+            flops += n_pad * D                       # pooling
+            flops += n_windows * (3 * 2 * nH) * D    # regressors
+            flops += n_pad * 2                       # coords
+            flops += 2 * n_pad * D * 4               # bilinear gather K+V
+    # simple-FPN deconvs/pools are <1% — counted as one 2x2 deconv level
+    flops += n_tok * D * D * 4
+    return flops

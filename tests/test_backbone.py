@@ -56,3 +56,16 @@ def test_remat_matches():
     out_b = jax.jit(lambda p: ViTRVSA(cfg_r).apply({"params": p}, x))(params)
     for a, b in zip(out_a, out_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_backbone_flops_estimator():
+    """Analytic FLOPs (reference flops() analog): ViT-B/224 lands at the
+    published ~17.6 GFLOP; quadratic term makes 384 > 2.9x the 224 count
+    for ViT-L."""
+    from mtp_tpu.models.vit_rvsa import backbone_flops
+    from mtp_tpu.utils.config import vit_b_rvsa, vit_l_rvsa
+    b224 = backbone_flops(vit_b_rvsa(224), (224, 224))
+    assert 16e9 < b224 < 20e9
+    l224 = backbone_flops(vit_l_rvsa(224), (224, 224))
+    l384 = backbone_flops(vit_l_rvsa(384), (384, 384))
+    assert l384 / l224 > 2.9
