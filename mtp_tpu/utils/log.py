@@ -46,10 +46,26 @@ class JsonlLogger:
         now = time.perf_counter()
         self._data_time = now - self._last
 
+    @staticmethod
+    def device_memory_mb():
+        """HBM bytes in use on device 0 (the reference logs 'memory' MB per
+        iter); None where the backend exposes no stats (CPU)."""
+        try:
+            import jax
+            stats = jax.devices()[0].memory_stats()
+            if stats and "bytes_in_use" in stats:
+                return round(stats["bytes_in_use"] / 2**20)
+        except Exception:
+            pass
+        return None
+
     def log(self, step: int, metrics: Dict[str, float], **extra):
         now = time.perf_counter()
         rec = {"iter": step, "time": round(now - self._last, 4),
                "data_time": round(self._data_time, 4)}
+        mem = self.device_memory_mb()
+        if mem is not None:
+            rec["memory"] = mem
         rec.update({k: (round(float(v), 6) if isinstance(v, (int, float)) else v)
                     for k, v in metrics.items()})
         rec.update(extra)
