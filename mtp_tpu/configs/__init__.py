@@ -211,6 +211,14 @@ def _matrix():
                 f"retinanet_{bk}_416_{it}_xview",
                 _det(_bb(bk, 416, det_last=True), 60),
                 "xview", init, "AP 19.40 L; RetinaNet head")
+            # standalone Mask R-CNN on any COCO-with-masks layout (the
+            # reference exercises IS only inside pretraining validation —
+            # this exposes the same decoder as a finetune/eval recipe with
+            # bbox+segm COCO mAP)
+            _register_recipe(
+                f"mask_rcnn_{bk}_1024_{it}_coco",
+                _det(_bb(bk, 1024, det_last=True), 80, task="instseg"),
+                "coco", init, "bbox+segm AP; SAMRS-style ins json works")
 
     # --- rotated detection (Rotated_Detection/configs/mtp) ---------------
     rot = [("diorr", "dior-r", 20, 800, "mAP 74.54 L", False),
