@@ -159,8 +159,23 @@ _INITS = {"rvsa_b": ("mae", "mae-mtp"), "rvsa_l": ("mae", "mae-mtp"),
           "intern_xl": ("imp", "imp-mtp")}
 
 
+def _ii_opt(task: TaskConfig) -> TaskConfig:
+    """InternImage finetunes run a different optimizer point than ViT
+    (reference intern-xl configs: layer_decay 0.94 everywhere; lr 2e-5 for
+    cls/seg/CD, detection keeps 1e-4)."""
+    if not task.backbone.name.startswith("internimage"):
+        return task
+    opt = task.train.optimizer
+    lr = opt.lr if task.task in ("detection_h", "detection_r", "instseg") \
+        else 2e-5
+    return dataclasses.replace(task, train=dataclasses.replace(
+        task.train, optimizer=dataclasses.replace(
+            opt, lr=lr, layer_decay=0.94)))
+
+
 def _register_recipe(name: str, task: TaskConfig, dataset: str, init: str,
                      notes: str = ""):
+    task = _ii_opt(task)
     def fn(task=task, name=name, dataset=dataset, init=init, notes=notes):
         return Recipe(name, task, dataset=dataset, init=init, notes=notes)
     _REGISTRY[name] = fn

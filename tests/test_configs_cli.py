@@ -70,3 +70,13 @@ def test_epochs_flag_guards():
     with pytest.raises(SystemExit, match="not both"):
         train_main(["vit-rvsa-b-224-mae-mtp_eurosat", "--epochs", "2",
                     "--steps", "5", "--data-root", "/nonexistent"])
+
+
+def test_internimage_recipe_optimizer_point():
+    """Reference intern-xl configs: layer_decay 0.94 everywhere, lr 2e-5
+    for cls/seg/CD, detection keeps 1e-4."""
+    o = configs.get("intern-xl-224-imp-mtp_eurosat").task.train.optimizer
+    assert o.lr == 2e-5 and o.layer_decay == 0.94
+    o = configs.get(
+        "faster_rcnn_intern_xl_800_imp_mtp_dior").task.train.optimizer
+    assert o.lr == 1e-4 and o.layer_decay == 0.94
