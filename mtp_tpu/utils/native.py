@@ -50,6 +50,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                ctypes.c_int64]
     lib.rle_encode.restype = ctypes.c_int64
     lib.rbox_iou.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64, f32p]
+    try:  # symbol absent in pre-round-2 builds of the .so
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.mask_iou_packed.argtypes = [u8p, ctypes.c_int64, u8p,
+                                        ctypes.c_int64, ctypes.c_int64, u8p,
+                                        f64p, f64p, f64p]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 
@@ -74,6 +81,30 @@ def rle_encode_native(mask: np.ndarray) -> Optional[list]:
     if n < 0:
         return None
     return out[:n].tolist()
+
+
+def mask_iou_native(dt: np.ndarray, gt: np.ndarray, crowd: np.ndarray):
+    """(ious (D,G) f64, d_areas, g_areas) from dense binary masks
+    (D,H,W)/(G,H,W) via the packed-popcount C++ kernel, or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mask_iou_packed"):
+        return None
+    D, G = len(dt), len(gt)
+    dp = np.packbits(dt.reshape(D, -1).astype(bool), axis=1)
+    gp = np.packbits(gt.reshape(G, -1).astype(bool), axis=1)
+    nbytes = dp.shape[1]
+    pad = (-nbytes) % 8  # 8-byte rows: aligned whole-word popcounts
+    if pad:
+        dp = np.pad(dp, ((0, 0), (0, pad)))
+        gp = np.pad(gp, ((0, 0), (0, pad)))
+        nbytes += pad
+    out = np.zeros((D, G), np.float64)
+    da = np.zeros(D, np.float64)
+    ga = np.zeros(G, np.float64)
+    lib.mask_iou_packed(np.ascontiguousarray(dp), D,
+                        np.ascontiguousarray(gp), G, nbytes,
+                        np.ascontiguousarray(crowd, np.uint8), out, da, ga)
+    return out, da, ga
 
 
 def rbox_iou_native(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:

@@ -48,3 +48,30 @@ def test_rbox_iou_native_matches_jnp():
 def test_rbox_iou_identity():
     a = np.asarray([[10, 10, 8, 4, 0.7]], np.float32)
     np.testing.assert_allclose(rbox_iou_native(a, a), [[1.0]], atol=1e-5)
+
+
+def test_mask_iou_packed_matches_dense():
+    """C++ packed-popcount mask IoU == dense matmul reference, incl. crowd
+    union semantics and non-multiple-of-8 widths."""
+    from mtp_tpu.utils.native import mask_iou_native
+    rng = np.random.default_rng(1)
+    D, G, H, W = 7, 5, 37, 53  # odd sizes exercise bit padding
+    dt = (rng.uniform(size=(D, H, W)) < 0.4).astype(np.uint8)
+    gt = (rng.uniform(size=(G, H, W)) < 0.4).astype(np.uint8)
+    crowd = np.zeros(G, bool)
+    crowd[2] = True
+    res = mask_iou_native(dt, gt, crowd)
+    if res is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    ious, da, ga = res
+    d = dt.reshape(D, -1).astype(np.float64)
+    g = gt.reshape(G, -1).astype(np.float64)
+    inter = d @ g.T
+    ad, ag = d.sum(1), g.sum(1)
+    union = np.where(crowd[None, :], ad[:, None],
+                     ad[:, None] + ag[None, :] - inter)
+    np.testing.assert_allclose(ious, inter / np.maximum(union, 1e-12),
+                               atol=1e-12)
+    np.testing.assert_allclose(da, ad)
+    np.testing.assert_allclose(ga, ag)
