@@ -54,9 +54,15 @@ def np_rbox_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def np_quad_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Convex-quad IoU on host ((N,8) corner polygons) — the nms_quadri
-    path of the reference merge (rotated_detection/metric.py:533)."""
+    path of the reference merge (rotated_detection/metric.py:533).  C++
+    clipping kernel when built, else the jnp kernel on CPU."""
     if len(a) == 0 or len(b) == 0:
         return np.zeros((len(a), len(b)), np.float32)
+    from mtp_tpu.utils.native import quad_iou_native
+    native = quad_iou_native(np.asarray(a, np.float32),
+                             np.asarray(b, np.float32))
+    if native is not None:
+        return native
     import jax.numpy as jnp
     from mtp_tpu.ops.rotated_boxes import quad_overlaps
     return np.asarray(quad_overlaps(jnp.asarray(a, jnp.float32),

@@ -50,6 +50,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                ctypes.c_int64]
     lib.rle_encode.restype = ctypes.c_int64
     lib.rbox_iou.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64, f32p]
+    try:  # symbols absent in pre-round-2 builds of the .so
+        lib.quad_iou.argtypes = [f32p, ctypes.c_int64, f32p,
+                                 ctypes.c_int64, f32p]
+    except AttributeError:
+        pass
     try:  # symbol absent in pre-round-2 builds of the .so
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.mask_iou_packed.argtypes = [u8p, ctypes.c_int64, u8p,
@@ -116,4 +121,17 @@ def rbox_iou_native(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
     out = np.zeros((len(a), len(b)), np.float32)
     if len(a) and len(b):
         lib.rbox_iou(a, len(a), b, len(b), out)
+    return out
+
+
+def quad_iou_native(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    """(N,8)x(M,8) convex-quad IoU via the C++ clipping kernel, or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "quad_iou"):
+        return None
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    out = np.zeros((len(a), len(b)), np.float32)
+    if len(a) and len(b):
+        lib.quad_iou(a, len(a), b, len(b), out)
     return out

@@ -145,6 +145,29 @@ void rbox_iou(const float* a, int64_t n, const float* b, int64_t m,
   }
 }
 
+// Convex-quad IoU ((x1..y4) corner polygons) — the nms_quadri path of the
+// FAIR1M multi-scale merge (eval/det_map.py np_quad_iou).  Same
+// Sutherland–Hodgman core as rbox_iou; clip winding is normalized inside
+// intersect_area, so raw corner order from annotations is fine.
+void quad_iou(const float* a, int64_t n, const float* b, int64_t m,
+              float* out /* n*m */) {
+  for (int64_t i = 0; i < n; ++i) {
+    Pt ca[4];
+    for (int k = 0; k < 4; ++k)
+      ca[k] = {(double)a[i * 8 + 2 * k], (double)a[i * 8 + 2 * k + 1]};
+    double area_a = polygon_area(ca, 4);
+    for (int64_t j = 0; j < m; ++j) {
+      Pt cb[4];
+      for (int k = 0; k < 4; ++k)
+        cb[k] = {(double)b[j * 8 + 2 * k], (double)b[j * 8 + 2 * k + 1]};
+      double area_b = polygon_area(cb, 4);
+      double inter = intersect_area(ca, cb);
+      double uni = area_a + area_b - inter;
+      out[i * m + j] = (float)(uni > 1e-9 ? inter / uni : 0.0);
+    }
+  }
+}
+
 // Packed-bitset binary-mask IoU for COCO segm evaluation
 // (eval/coco_eval.py): masks arrive bit-packed (np.packbits row-major),
 // intersection = popcount(a & b) over 64-bit words — ~the RLE-IoU speed

@@ -75,3 +75,22 @@ def test_mask_iou_packed_matches_dense():
                                atol=1e-12)
     np.testing.assert_allclose(da, ad)
     np.testing.assert_allclose(ga, ag)
+
+
+def test_quad_iou_matches_jnp_kernel():
+    from mtp_tpu.utils.native import quad_iou_native
+    from mtp_tpu.eval.det_map import rbox_to_quad_np
+    rng = np.random.default_rng(2)
+    rb = np.stack([rng.uniform(20, 80, 12), rng.uniform(20, 80, 12),
+                   rng.uniform(5, 30, 12), rng.uniform(5, 30, 12),
+                   rng.uniform(-1.5, 1.5, 12)], -1).astype(np.float32)
+    quads = rbox_to_quad_np(rb)
+    res = quad_iou_native(quads[:7], quads[7:])
+    if res is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    import jax.numpy as jnp
+    from mtp_tpu.ops.rotated_boxes import quad_overlaps
+    ref = np.asarray(quad_overlaps(jnp.asarray(quads[:7]),
+                                   jnp.asarray(quads[7:])))
+    np.testing.assert_allclose(res, ref, atol=2e-4)
