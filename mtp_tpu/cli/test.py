@@ -144,8 +144,8 @@ def run_format_only(task, state, cfg, recipe, args):
         flush(stack, metas)
 
     # collapse TTA variants before the cross-patch merge
-    per_patch = {stem: {k: np.concatenate(v[k]) if v[k] else np.zeros(0)
-                        for k in v} for stem, v in per_patch.items()}
+    per_patch = {stem: {k: np.concatenate(v[k]) for k in v}
+                 for stem, v in per_patch.items()}
 
     merged = merge_dota_patches(per_patch, len(classes),
                                 nms_iou=args.merge_iou,

@@ -46,17 +46,21 @@ def _bbox_iou_crowd(dt: np.ndarray, gt: np.ndarray,
     return inter / np.maximum(union, 1e-12)
 
 
-def _mask_iou_crowd(dt: np.ndarray, gt: np.ndarray,
-                    crowd: np.ndarray) -> np.ndarray:
-    """Binary-mask IoU (D, G); dt (D, H, W), gt (G, H, W).  Fast path: the
-    packed-popcount C++ kernel (native/mtp_native.cc mask_iou_packed),
-    ~30x the dense float64 matmul this falls back to."""
+def _mask_iou_crowd(dt: np.ndarray, gt: np.ndarray, crowd: np.ndarray):
+    """(IoU (D, G), det areas (D,), gt areas (G,)) for binary masks
+    dt (D, H, W), gt (G, H, W).  Fast path: the packed-popcount C++ kernel
+    (native/mtp_native.cc mask_iou_packed), ~26x the dense float64 matmul
+    this falls back to; areas come from the same popcounts."""
     if len(dt) == 0 or len(gt) == 0:
-        return np.zeros((len(dt), len(gt)), np.float64)
+        ad = dt.sum(axis=(1, 2)).astype(np.float64) \
+            if dt.ndim == 3 else np.zeros(len(dt))
+        ag = gt.sum(axis=(1, 2)).astype(np.float64) \
+            if gt.ndim == 3 else np.zeros(len(gt))
+        return np.zeros((len(dt), len(gt)), np.float64), ad, ag
     from mtp_tpu.utils.native import mask_iou_native
     native = mask_iou_native(dt, gt, crowd)
     if native is not None:
-        return native[0]
+        return native
     d = dt.reshape(len(dt), -1).astype(np.float64)
     g = gt.reshape(len(gt), -1).astype(np.float64)
     inter = d @ g.T
@@ -64,7 +68,7 @@ def _mask_iou_crowd(dt: np.ndarray, gt: np.ndarray,
     ag = g.sum(1)
     union = np.where(crowd[None, :], ad[:, None],
                      ad[:, None] + ag[None, :] - inter)
-    return inter / np.maximum(union, 1e-12)
+    return inter / np.maximum(union, 1e-12), ad, ag
 
 
 def _match_img(ious: np.ndarray, dt_scores: np.ndarray, dt_areas: np.ndarray,
@@ -153,11 +157,8 @@ def evaluate_coco(per_image: Sequence[dict], num_classes: int,
             if iou_type == "segm":
                 d_masks = np.asarray(im["det_masks"])[dm][order]
                 g_masks = np.asarray(im["gt_masks"])[gm]
-                ious = _mask_iou_crowd(d_masks, g_masks, crowd)
-                d_areas = d_masks.sum(axis=(1, 2)).astype(np.float64) \
-                    if d_masks.ndim == 3 else np.zeros(0)
-                g_areas = g_masks.sum(axis=(1, 2)).astype(np.float64) \
-                    if g_masks.ndim == 3 else np.zeros(0)
+                ious, d_areas, g_areas = _mask_iou_crowd(d_masks, g_masks,
+                                                         crowd)
             else:
                 ious = _bbox_iou_crowd(boxes, g_boxes, crowd)
                 d_areas = ((boxes[:, 2] - boxes[:, 0])

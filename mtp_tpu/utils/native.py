@@ -35,8 +35,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) and os.path.exists(_SRC):
-        if not _build():
+    stale = (os.path.exists(_LIB) and os.path.exists(_SRC)
+             and os.path.getmtime(_SRC) > os.path.getmtime(_LIB))
+    if (not os.path.exists(_LIB) or stale) and os.path.exists(_SRC):
+        if not _build() and not os.path.exists(_LIB):
             return None
     if not os.path.exists(_LIB):
         return None
