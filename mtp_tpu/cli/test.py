@@ -159,6 +159,65 @@ def run_format_only(task, state, cfg, recipe, args):
     return 0
 
 
+def run_seg_labels(task, state, cfg, args):
+    """Full-dataset raw label-PNG export for segmentation (the reference's
+    `tools/test.py --out` path: LoveDA submission = these PNGs through
+    `tools/prepare_datasets.py loveda-shift`).  One uint8 PNG per source
+    image, named by its stem, at original resolution."""
+    from PIL import Image
+    from mtp_tpu.data import transforms as T
+    from mtp_tpu.data.datasets import imread
+    from mtp_tpu.data.bindings import _first_existing
+
+    img_dir = _first_existing(
+        os.path.join(args.data_root, "img_dir", args.split),
+        os.path.join(args.data_root, "images", args.split),
+        os.path.join(args.data_root, args.split, "images"))
+    if img_dir is None:
+        raise SystemExit(f"no {args.split} image dir under {args.data_root}")
+    files = sorted(f for f in os.listdir(img_dir)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg", ".tif")))
+    os.makedirs(args.save_labels, exist_ok=True)
+
+    S = cfg.backbone.img_size
+    B = args.batch_size or cfg.train.batch_size
+    predict = task.predict_fn()
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    def flush(stack, metas):
+        n = len(stack)
+        while len(stack) < B:
+            stack.append(stack[0])
+        pred = np.asarray(predict(variables, np.stack(stack)))
+        for i in range(n):
+            stem, (h, w), (nh, nw) = metas[i]
+            p = pred[i, :nh, :nw].astype(np.uint8)
+            if (nh, nw) != (h, w):
+                p = np.asarray(Image.fromarray(p).resize((w, h),
+                                                         Image.NEAREST))
+            Image.fromarray(p).save(
+                os.path.join(args.save_labels, stem + ".png"))
+
+    stack, metas = [], []
+    for f in files:
+        img = imread(os.path.join(img_dir, f))
+        h, w = img.shape[:2]
+        s = T.resize({"image": img}, (S, S), keep_ratio=True)
+        nh, nw = s["image"].shape[:2]
+        s = T.pad_to(T.normalize(s), (S, S))
+        stack.append(s["image"])
+        metas.append((os.path.splitext(f)[0], (h, w), (nh, nw)))
+        if len(stack) == B:
+            flush(stack, metas)
+            stack, metas = [], []
+    if stack:
+        flush(stack, metas)
+    print(json.dumps({"images": len(files), "labels": args.save_labels}))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("recipe")
@@ -197,6 +256,11 @@ def main(argv=None):
                         "segment on merge")
     p.add_argument("--fair1m", action="store_true",
                    help="also write the FAIR1M per-image xml tree")
+    p.add_argument("--save-labels", default=None,
+                   help="segmentation: skip metrics, predict EVERY "
+                        "<data-root> {split} image and write raw uint8 "
+                        "label PNGs (reference tools/test.py --out; feed "
+                        "LoveDA's through loveda-shift for submission)")
     args = p.parse_args(argv)
 
     from mtp_tpu import configs
@@ -215,6 +279,13 @@ def main(argv=None):
         if not args.data_root:
             raise SystemExit("--format-only needs --data-root")
         return run_format_only(task, state, cfg, recipe, args)
+    if args.save_labels:
+        if cfg.task != "segmentation":
+            raise SystemExit("--save-labels is the segmentation label-PNG "
+                             "export path")
+        if not args.data_root:
+            raise SystemExit("--save-labels needs --data-root")
+        return run_seg_labels(task, state, cfg, args)
 
     if args.synthetic:
         gen = synthetic_data(cfg, batch_size)

@@ -168,3 +168,34 @@ def test_cli_format_only_submission(tmp_path, capsys):
     for t in txts:
         for line in open(tmp_path / "submit" / t):
             assert line.split()[0] in ("P0001", "P0002")
+
+
+def test_cli_seg_label_export_and_loveda_shift(tmp_path, capsys):
+    """--save-labels: raw uint8 label PNGs for every test image at source
+    resolution (reference --out), chainable into loveda-shift."""
+    from mtp_tpu.cli.test import main as test_main
+
+    d = tmp_path / "img_dir" / "val"
+    d.mkdir(parents=True)
+    for i in range(3):
+        _img(d / f"im{i}.png", h=48, w=40, seed=i)
+    out = tmp_path / "out"
+    assert test_main(["rvsa-b-upernet-384-mae-mtp-spacenetv1",
+                      "--data-root", str(tmp_path), "--split", "val",
+                      "--save-labels", str(out), "--img-size", "64",
+                      "--batch-size", "2", "--mesh-data", "1"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["images"] == 3
+    from PIL import Image as PILImage
+    a = np.asarray(PILImage.open(out / "im0.png"))
+    assert a.shape == (48, 40) and a.dtype == np.uint8
+
+    # submission chain: subtract 1 (LoveDA server convention)
+    import subprocess, sys as _sys
+    r = subprocess.run(
+        [_sys.executable, "tools/prepare_datasets.py", "loveda-shift",
+         "--pred-dir", str(out), "--out-dir", str(tmp_path / "shifted")],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    b = np.asarray(PILImage.open(tmp_path / "shifted" / "im0.png"))
+    assert b.shape == (48, 40)
