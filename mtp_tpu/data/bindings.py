@@ -104,7 +104,9 @@ def _build_dataset(recipe_dataset: str, cfg, data_root: str,
                               os.path.join(data_root, "annotations", split))
         if img is None or ann is None:
             return None
-        pipe = P.seg_train_pipeline(s) if train else P.seg_test_pipeline(s)
+        # eval at ORIGINAL resolution (reference test pipelines do not
+        # resize; slide inference covers large tiles)
+        pipe = P.seg_train_pipeline(s) if train else P.seg_test_pipeline()
         suffix = ".png"
         for f in os.listdir(img):
             if "." in f:
@@ -130,7 +132,7 @@ def _build_dataset(recipe_dataset: str, cfg, data_root: str,
             if "." in f:
                 suffix = os.path.splitext(f)[1]
                 break
-        pipe = P.cd_train_pipeline(s) if train else None
+        pipe = P.cd_train_pipeline(s) if train else P.cd_test_pipeline()
         ds = ChangeDetectionPairs(a, b, lab, suffix=suffix, pipeline=pipe)
         return ds, collate_cd
 
@@ -313,6 +315,10 @@ def build_eval_data(recipe, cfg, data_root: str, batch_size: int,
             for batch in zip(*(l.epoch(0) for l in loaders)):
                 yield {f"d{d}": b for d, b in enumerate(batch)}
         return epoch()
+    if cfg.task in ("segmentation", "change_detection"):
+        # original-resolution eval: sizes can vary per image, and the
+        # reference val/test loaders run batch_size=1 anyway
+        batch_size = 1
     for sp in (split, "test"):
         built = build_dataset(recipe.dataset, cfg, data_root, sp,
                               train=False, max_gts=max_gts)

@@ -111,10 +111,26 @@ def seg_train_pipeline(crop: int = 512, ratio_range=(0.5, 2.0)):
 
 
 def seg_test_pipeline(size: int = None):
+    """Reference seg test protocol (spacenetv1 config :45-49): NO resize —
+    original resolution, slide inference handles the size.  `size` forces
+    a square resize only for smoke/synthetic runs."""
     def fn(sample: Sample, rng=None) -> Sample:
         s = T.resize(sample, (size, size)) if size else sample
         s = T.normalize(s)
         return T.pad_to_divisor(s, 32)
+
+    return fn
+
+
+def cd_test_pipeline():
+    """Reference CD test protocol (levir config :50-56): original
+    resolution, normalize only (pad to stride just like train's crops)."""
+    def fn(sample, rng=None):
+        sa = T.pad_to_divisor(T.normalize(
+            {"image": sample["image_a"], "sem_seg": sample["label"]}), 32)
+        sb = T.pad_to_divisor(T.normalize({"image": sample["image_b"]}), 32)
+        return {"image_a": sa["image"], "image_b": sb["image"],
+                "label": sa["sem_seg"]}
 
     return fn
 

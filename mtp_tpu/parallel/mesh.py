@@ -13,6 +13,7 @@ import re
 from typing import Any, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -40,6 +41,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_batch(mesh: Mesh, x) -> jax.Array:
+    """device_put a host batch with the data-axis sharding when the batch
+    divides the data-mesh size, replicated otherwise (eval batches — e.g.
+    the bs-1 original-resolution seg/CD protocol or a ragged final batch —
+    must not crash on divisibility)."""
+    x = jnp.asarray(x)
+    d = mesh.shape.get(DATA_AXIS, 1)
+    sh = batch_sharding(mesh) if x.shape[0] % d == 0 else replicated(mesh)
+    return jax.device_put(x, sh)
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ from mtp_tpu.eval.metrics import SegAccumulator
 from mtp_tpu.heads.upernet import resize_bilinear
 from mtp_tpu.models.change_detection import SiamChangeDetector
 from mtp_tpu.models.vit_rvsa import rescale_block_init
-from mtp_tpu.parallel.mesh import batch_sharding, make_mesh
+from mtp_tpu.parallel.mesh import make_mesh, put_batch
 from mtp_tpu.utils.config import TaskConfig
 
 
@@ -115,10 +115,9 @@ class ChangeDetectionTask:
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         acc = SegAccumulator(self.cfg.num_classes, self.cfg.ignore_index)
-        sh = batch_sharding(self.mesh)
         for batch in data:
-            a = jax.device_put(jnp.asarray(batch["image_a"]), sh)
-            b = jax.device_put(jnp.asarray(batch["image_b"]), sh)
+            a = put_batch(self.mesh, batch["image_a"])
+            b = put_batch(self.mesh, batch["image_b"])
             pred = predict(variables, a, b)
             acc.add(np.asarray(pred), batch["label"])
         res = acc.evaluate()

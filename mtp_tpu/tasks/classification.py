@@ -19,7 +19,7 @@ from mtp_tpu.core.train import (TrainState, create_state, make_train_step,
 from mtp_tpu.eval.metrics import topk_accuracy
 from mtp_tpu.models.classifier import ImageClassifier
 from mtp_tpu.models.vit_rvsa import rescale_block_init
-from mtp_tpu.parallel.mesh import batch_sharding, make_mesh
+from mtp_tpu.parallel.mesh import make_mesh, put_batch
 from mtp_tpu.utils.config import TaskConfig
 
 
@@ -92,10 +92,9 @@ class ClassificationTask:
         def fwd(params, images):
             return model.apply({"params": params}, images, deterministic=True)
 
-        sh = batch_sharding(self.mesh)
         tot, hits = 0, {"top1": 0.0, "top5": 0.0}
         for batch in data:
-            images = jax.device_put(jnp.asarray(batch["image"]), sh)
+            images = put_batch(self.mesh, batch["image"])
             logits = fwd(state.params, images)
             accs = topk_accuracy(logits, jnp.asarray(batch["label"]))
             n = images.shape[0]

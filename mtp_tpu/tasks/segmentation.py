@@ -21,7 +21,7 @@ from mtp_tpu.eval.slide import slide_inference
 from mtp_tpu.heads.upernet import resize_bilinear
 from mtp_tpu.models.segmentor import Segmentor
 from mtp_tpu.models.vit_rvsa import rescale_block_init
-from mtp_tpu.parallel.mesh import batch_sharding, make_mesh
+from mtp_tpu.parallel.mesh import make_mesh, put_batch
 from mtp_tpu.utils.config import SlideConfig, TaskConfig
 
 
@@ -119,9 +119,8 @@ class SegmentationTask:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        sh = batch_sharding(self.mesh)
         for batch in data:
-            images = jax.device_put(jnp.asarray(batch["image"]), sh)
+            images = put_batch(self.mesh, batch["image"])
             pred = predict(variables, images)
             acc.add(np.asarray(pred), batch["label"])
         return acc.evaluate()
