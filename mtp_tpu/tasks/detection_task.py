@@ -20,7 +20,7 @@ from mtp_tpu.eval.det_map import eval_coco_map, eval_map
 from mtp_tpu.models.detector import DetConfig, TwoStageDetector, oriented_rcnn_cfg
 from mtp_tpu.models.retinanet import (RetinaConfig, RetinaNet, retina_anchors,
                                       retinanet_loss, retinanet_predict)
-from mtp_tpu.parallel.mesh import batch_sharding, make_mesh
+from mtp_tpu.parallel.mesh import make_mesh
 from mtp_tpu.tasks.detection import (anchors_for, detection_loss,
                                      detection_predict)
 from mtp_tpu.utils.config import TaskConfig

@@ -23,7 +23,7 @@ from mtp_tpu.core.optim import make_optimizer, make_schedule, vit_layer_id
 from mtp_tpu.core.train import TrainState, create_state, make_train_step, shard_state
 from mtp_tpu.models.multitask import MultiTaskPretrainModel, SAMRS_CLASSES
 from mtp_tpu.models.vit_rvsa import rescale_block_init
-from mtp_tpu.parallel.mesh import batch_sharding, make_mesh
+from mtp_tpu.parallel.mesh import make_mesh
 from mtp_tpu.tasks.detection import anchors_for
 from mtp_tpu.utils.config import TaskConfig
 
