@@ -105,7 +105,18 @@ class FullAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nH, N, hd)
 
         q = q * scale
-        if self.pallas:
+        if self.pallas and H * W > 1024:
+            # large grids (448²+ images): q-blocked flash kernel — the
+            # (N, N) scores/bias never hit HBM (VMEM-unsafe in one cell)
+            from mtp_tpu.ops.pallas_attn import flash_full_attention
+            from mtp_tpu.ops.rel_pos import decomposed_rel_pos_factors
+            rel_h, rel_w = decomposed_rel_pos_factors(
+                q, (H, W), (H, W), rel_pos_h, rel_pos_w)
+            f = lambda t: t.reshape((B * nH,) + t.shape[2:])
+            out = flash_full_attention(f(q), f(k), f(v), f(rel_h),
+                                       f(rel_w), (H, W), 1.0)
+            out = out.reshape(B, nH, H * W, hd).astype(self.dtype)
+        elif self.pallas:
             from mtp_tpu.ops.pallas_attn import fused_window_attention
             from mtp_tpu.ops.rel_pos import decomposed_rel_pos_bias
             bias = decomposed_rel_pos_bias(q, (H, W), (H, W),

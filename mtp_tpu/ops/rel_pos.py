@@ -49,6 +49,25 @@ def decomposed_rel_pos_bias(q: jax.Array, q_shape: tuple[int, int],
     return bias.reshape(lead + (q_h * q_w, k_h * k_w))
 
 
+def decomposed_rel_pos_factors(q: jax.Array, q_shape: tuple[int, int],
+                               k_shape: tuple[int, int], rel_pos_h: jax.Array,
+                               rel_pos_w: jax.Array):
+    """The two per-axis factors of the decomposed bias, WITHOUT forming the
+    (N, N) bias: rel_h (..., q_h*q_w, k_h), rel_w (..., q_h*q_w, k_w), fp32.
+    bias[q, k] = rel_h[q, ky] + rel_w[q, kx] with k = ky*k_w + kx — the
+    contract consumed by `pallas_attn.flash_full_attention`."""
+    q_h, q_w = q_shape
+    k_h, k_w = k_shape
+    Rh = rel_pos_h[rel_pos_indices(q_h, k_h)].astype(jnp.float32)
+    Rw = rel_pos_w[rel_pos_indices(q_w, k_w)].astype(jnp.float32)
+    lead = q.shape[:-2]
+    r_q = q.astype(jnp.float32).reshape(lead + (q_h, q_w, q.shape[-1]))
+    rel_h = jnp.einsum("...hwc,hkc->...hwk", r_q, Rh)
+    rel_w = jnp.einsum("...hwc,wkc->...hwk", r_q, Rw)
+    n = q_h * q_w
+    return (rel_h.reshape(lead + (n, k_h)), rel_w.reshape(lead + (n, k_w)))
+
+
 def add_decomposed_rel_pos(attn: jax.Array, q: jax.Array,
                            q_shape: tuple[int, int], k_shape: tuple[int, int],
                            rel_pos_h: jax.Array, rel_pos_w: jax.Array) -> jax.Array:

@@ -81,7 +81,11 @@ class MultiTaskPretrainTask:
                       else pretrained_encoder)
         cfg = self.cfg
         s = cfg.backbone.img_size
-        variables = self.model.init(rng, jnp.zeros((2, s, s, 3), jnp.float32))
+        # jitted init: eager init dispatches hundreds of tiny ops, which is
+        # pathological through the relay-attached chip (~1.7 ms/dispatch)
+        variables = jax.jit(
+            lambda r: self.model.init(r, jnp.zeros((2, s, s, 3), jnp.float32))
+        )(rng)
         params = dict(variables["params"])
         params["encoder"] = rescale_block_init(params["encoder"], cfg.backbone.depth)
         if pretrained is not None:
