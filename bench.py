@@ -151,6 +151,9 @@ def bench_pretrain():
     loss0 = float(metrics["loss"])
     log(f"bench[pretrain]: compile+first step {time.perf_counter() - t0:.1f}s "
         f"loss {loss0:.3f}")
+    log("bench[pretrain]: losses " + " ".join(
+        f"{k}={float(v):.2f}" for k, v in sorted(metrics.items())
+        if np.isscalar(float(v))))
     assert np.isfinite(loss0), metrics
 
     t0 = time.perf_counter()
@@ -174,14 +177,16 @@ def bench_pretrain():
     # train step (fwd+bwd ≈ 3× fwd FLOPs) at 224² bs8, 1.18 s/iter
     ref_flops_s = 3 * backbone_flops(BACKBONES[name](img_size=224)) * 8 / 1.18
     ours_flops_s = 3 * backbone_flops(bb) * B / (dt / iters)
-    print(json.dumps({
+    rec = {
         "metric": f"{name}_multitask_pretrain{size}_images_per_sec_per_chip",
         "value": round(imgs, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ours_flops_s / ref_flops_s, 3),
         "ms_per_step": round(ms, 1),
-        "peak_hbm_gib": round(hbm_gb, 2),
-    }))
+    }
+    if np.isfinite(hbm_gb):  # memory_stats() is unavailable through the relay
+        rec["peak_hbm_gib"] = round(hbm_gb, 2)
+    print(json.dumps(rec))
 
 
 def main():

@@ -208,6 +208,30 @@ def from_scan_layout(params: dict, depth: int, interval: int) -> dict:
     return out
 
 
+def to_stage_scan_layout(params: dict, depths: Tuple[int, ...]) -> dict:
+    """Restack an unrolled InternImage tree (stage{s}_layer{i}) into the
+    scanned layout (stage{s}_layers/l/... with a leading layer axis)."""
+    out = {k: v for k, v in params.items()
+           if not (k.startswith("stage") and "_layer" in k
+                   and not k.endswith("_layers"))}
+    for s, depth in enumerate(depths):
+        per_l = [params[f"stage{s}_layer{i}"] for i in range(depth)]
+        out[f"stage{s}_layers"] = {"l": jax.tree_util.tree_map(
+            lambda *leaves: np.stack(leaves, axis=0), *per_l)}
+    return out
+
+
+def from_stage_scan_layout(params: dict, depths: Tuple[int, ...]) -> dict:
+    """Inverse of `to_stage_scan_layout`."""
+    out = {k: v for k, v in params.items() if not k.endswith("_layers")}
+    for s, depth in enumerate(depths):
+        stacked = params[f"stage{s}_layers"]["l"]
+        for i in range(depth):
+            out[f"stage{s}_layer{i}"] = jax.tree_util.tree_map(
+                lambda leaf: np.asarray(leaf[i]), stacked)
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, "np.ndarray"]:
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -277,5 +301,7 @@ def convert_backbone_checkpoint(path: str, cfg: BackboneConfig,
                                 grid: Optional[Tuple[int, int]] = None) -> dict:
     if cfg.name.startswith("internimage"):
         depths = (5, 5, 24, 5) if cfg.name.endswith("xl") else (4, 4, 18, 4)
-        return convert_internimage(load_torch_checkpoint(path), depths)
-    return convert_backbone(load_torch_checkpoint(path), cfg, grid)
+        p = convert_internimage(load_torch_checkpoint(path), depths)
+        return to_stage_scan_layout(p, depths) if cfg.scan else p
+    p = convert_backbone(load_torch_checkpoint(path), cfg, grid)
+    return to_scan_layout(p, cfg.depth, cfg.interval) if cfg.scan else p

@@ -24,24 +24,23 @@ def main(argv=None):
                             "internimage_t"])
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--scan", action="store_true",
-                   help="emit the scanned block-group layout (ViT only)")
+                   help="emit the scanned layout (ViT block_groups / "
+                        "InternImage stage layers, stacked leading axis)")
     args = p.parse_args(argv)
 
     from mtp_tpu.ckpt.store import save_encoder
-    from mtp_tpu.ckpt.torch_convert import (convert_backbone_checkpoint,
-                                            to_scan_layout)
+    from mtp_tpu.ckpt.torch_convert import convert_backbone_checkpoint
 
     if args.backbone.startswith("internimage"):
         from mtp_tpu.models.backbones import internimage_backbone_config
-        cfg = internimage_backbone_config(args.backbone, args.img_size)
+        cfg = internimage_backbone_config(args.backbone, args.img_size,
+                                          scan=args.scan)
         params = convert_backbone_checkpoint(args.ckpt, cfg)
-        desc = args.backbone
+        desc = args.backbone + (" scan" if args.scan else "")
     else:
         from mtp_tpu.utils.config import BACKBONES
         cfg = BACKBONES[args.backbone](args.img_size, scan=args.scan)
         params = convert_backbone_checkpoint(args.ckpt, cfg)
-        if args.scan:
-            params = to_scan_layout(params, cfg.depth, cfg.interval)
         desc = (f"{args.backbone} grid {args.img_size // cfg.patch_size}²"
                 f"{' scan' if args.scan else ''}")
     save_encoder(args.out, params)

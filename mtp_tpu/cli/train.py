@@ -205,6 +205,12 @@ def main(argv=None):
     p.add_argument("--eval-after", action="store_true",
                    help="run validation on the val/test split after training")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--scan", action="store_true",
+                   help="scan the backbone's repeated blocks (one compiled "
+                        "block group per shape; smaller programs)")
+    p.add_argument("--remat", action="store_true",
+                   help="activation checkpointing per block (reference "
+                        "use_ckpt/with_cp)")
     args = p.parse_args(argv)
 
     from mtp_tpu import configs
@@ -224,6 +230,10 @@ def main(argv=None):
     if args.batch_size:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size))
+    if args.scan or args.remat:
+        cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+            cfg.backbone, scan=args.scan or cfg.backbone.scan,
+            remat=args.remat or cfg.backbone.remat))
     if args.img_size:
         cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
             cfg.backbone, img_size=args.img_size))
@@ -264,13 +274,11 @@ def main(argv=None):
             from mtp_tpu.ckpt.store import load_encoder
             pretrained = load_encoder(args.pretrained)
         else:
+            # scan-layout restacking happens inside the converter (driven by
+            # cfg.backbone.scan, both ViT and InternImage layouts)
             from mtp_tpu.ckpt.torch_convert import convert_backbone_checkpoint
             pretrained = convert_backbone_checkpoint(args.pretrained,
                                                      cfg.backbone)
-            if cfg.backbone.scan:
-                from mtp_tpu.ckpt.torch_convert import to_scan_layout
-                pretrained = to_scan_layout(pretrained, cfg.backbone.depth,
-                                            cfg.backbone.interval)
         logger.info("loaded pretrained encoder from %s", args.pretrained)
 
     state = task.init_state(jax.random.PRNGKey(cfg.train.seed),

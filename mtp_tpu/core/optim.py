@@ -71,6 +71,9 @@ def _path_str(path) -> str:
 
 _BLOCK_RX = re.compile(r"(?:^|/)blocks_(\d+)(?:/|$)")
 _GROUP_RX = re.compile(r"(?:^|/)block_groups/(rvsa_(\d+)|full)(?:/|$)")
+# InternImage scanned-stage layout: stage{s}_layers/l/... with a stacked
+# leading layer axis
+_STAGE_RX = re.compile(r"(?:^|/)stage(\d+)_layers/")
 
 
 def vit_layer_id(path_str: str, num_layers: int) -> int:
@@ -90,10 +93,19 @@ def layer_decay_scales(params: Any, depth: int, rate: float,
                        scan_interval: Optional[int] = None) -> Any:
     """Pytree of per-leaf LR multipliers `rate^(num_layers - id - 1)`.
 
-    Scanned backbones (block_groups layout) get per-leaf *arrays*: the leading
-    group axis carries block index g*interval + pos, so each stacked slice
-    keeps its exact reference scale."""
+    Scanned backbones get per-leaf *arrays*: the stacked leading axis carries
+    the layer index (ViT block_groups: g*interval + pos; InternImage
+    stage{s}_layers: stage-cumulative + l), so each slice keeps its exact
+    reference scale."""
     num_layers = depth + 2
+
+    # stage depths of a scanned InternImage, recovered from the stacked
+    # leading axes (stage s starts at sum of earlier stages' depths)
+    stage_depth: dict = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        m = _STAGE_RX.search(_path_str(kp))
+        if m:
+            stage_depth[int(m.group(1))] = leaf.shape[0]
 
     def one(path, leaf):
         s = _path_str(path)
@@ -102,6 +114,14 @@ def layer_decay_scales(params: Any, depth: int, rate: float,
             pos = scan_interval - 1 if m.group(1) == "full" else int(m.group(2))
             G = leaf.shape[0]
             ids = jnp.arange(G) * scan_interval + pos + 1
+            sc = rate ** (num_layers - ids - 1)
+            return sc.reshape((G,) + (1,) * (leaf.ndim - 1)).astype(leaf.dtype)
+        m = _STAGE_RX.search(s)
+        if m is not None:
+            st = int(m.group(1))
+            G = leaf.shape[0]
+            start = sum(d for ss, d in stage_depth.items() if ss < st)
+            ids = start + jnp.arange(G) + 1
             sc = rate ** (num_layers - ids - 1)
             return sc.reshape((G,) + (1,) * (leaf.ndim - 1)).astype(leaf.dtype)
         lid = layer_id_fn(s, num_layers)
@@ -118,7 +138,8 @@ def wd_mask(params: Any) -> Any:
 
     def one(path, leaf):
         s = _path_str(path)
-        ndim = leaf.ndim - (1 if "block_groups/" in s + "/" else 0)
+        stacked = "block_groups/" in s + "/" or _STAGE_RX.search(s) is not None
+        ndim = leaf.ndim - (1 if stacked else 0)
         if (ndim <= 1 or s.endswith("bias") or s.endswith("scale")
                 or "pos_embed" in s or s.endswith("gamma_1")
                 or s.endswith("gamma_2")):

@@ -7,10 +7,12 @@ Capability parity with the reference `MTP_IS_RPNHead`
 proposal generation takes global top-`nms_pre` scored anchors, decodes,
 clips, and runs fixed-shape NMS.
 
-TPU deviations (documented): top-`nms_pre` is global across levels instead of
-per-level (same boxes in practice — high scores dominate regardless of
-level); proposal lists are padded to `max_per_img` with -inf scores instead
-of being ragged.
+TPU notes: with `level_sizes` given, top-`nms_pre` is taken PER LEVEL with
+static per-level k (the reference rule, instance_segmentation/rpn_head.py:
+236-304) and the per-level winners concatenate before one joint NMS; without
+it the top-k is global across levels (the round-1/2 deviation, kept as the
+fallback).  Proposal lists are padded to `max_per_img` with -inf scores
+instead of being ragged.
 """
 
 from __future__ import annotations
@@ -62,14 +64,32 @@ class RPNHead(nn.Module):
 def gen_proposals(rpn_out: RPNOut, anchors: Array,
                   img_shape: Tuple[int, int], nms_pre: int = 2000,
                   max_per_img: int = 1000, iou_thr: float = 0.7,
-                  rotated: bool = False) -> Tuple[Array, Array]:
+                  rotated: bool = False,
+                  level_sizes: Optional[Sequence[int]] = None
+                  ) -> Tuple[Array, Array]:
     """Fixed-shape proposal generation.
 
-    anchors (A_total, 4) constants.  Returns (boxes (B, max_per_img, 4|5),
-    scores (B, max_per_img) with -inf padding)."""
+    anchors (A_total, 4) constants.  level_sizes: static per-level flat
+    anchor counts — when given, top-k runs per level (reference semantics);
+    the per-level k = min(nms_pre, level_size) is compile-time constant.
+    Returns (boxes (B, max_per_img, 4|5), scores (B, max_per_img) with
+    -inf padding)."""
+
+    def topk(scores):
+        if not level_sizes:
+            return jax.lax.top_k(scores, min(nms_pre, scores.shape[0]))
+        tops, idxs, off = [], [], 0
+        for sz in level_sizes:
+            s, i = jax.lax.top_k(
+                jax.lax.dynamic_slice_in_dim(scores, off, sz, 0),
+                min(nms_pre, sz))
+            tops.append(s)
+            idxs.append(i + off)
+            off += sz
+        return jnp.concatenate(tops), jnp.concatenate(idxs)
 
     def one(scores, deltas):
-        top_s, idx = jax.lax.top_k(scores, min(nms_pre, scores.shape[0]))
+        top_s, idx = topk(scores)
         a = anchors[idx]
         d = deltas[idx]
         if rotated:

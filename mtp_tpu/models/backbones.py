@@ -26,7 +26,8 @@ def build_backbone(cfg: BackboneConfig, name: str = "backbone") -> nn.Module:
     if cfg.name.startswith("internimage"):
         icfg = internimage_xl() if cfg.name.endswith("xl") else internimage_t()
         icfg = dataclasses.replace(icfg, dtype=cfg.dtype,
-                                   drop_path_rate=cfg.drop_path_rate)
+                                   drop_path_rate=cfg.drop_path_rate,
+                                   remat=cfg.remat, scan=cfg.scan)
         return InternImage(icfg, name=name)
     return ViTRVSA(cfg, name=name)
 

@@ -39,6 +39,13 @@ class InternImageConfig:
     post_norm: bool = True
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     dtype: str = "bfloat16"
+    # remat every layer (the analog of the reference's with_cp=True,
+    # Multi-Task_Pretrain/models.py:102 — XL is TRAINED with checkpointing)
+    remat: bool = False
+    # nn.scan over each stage's layers: one compiled layer per stage instead
+    # of depth copies (XL stage 3 has 24) — params under stage{s}_layers/l
+    # with a stacked leading axis
+    scan: bool = False
 
 
 def internimage_xl() -> InternImageConfig:
@@ -75,7 +82,10 @@ class InternImageLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 dp_rate=None) -> Array:
+        """dp_rate overrides the static drop-path rate (scanned stages pass
+        per-layer rates as traced scan inputs, like the ViT BlockGroup)."""
         ln = lambda n: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=n)
         dcn = DCNv3(self.channels, group=self.groups,
                     offset_scale=self.offset_scale, dtype=self.dtype,
@@ -91,10 +101,13 @@ class InternImageLayer(nn.Module):
                             nn.initializers.constant(self.layer_scale),
                             (self.channels,))
 
+        rate = dp_rate if dp_rate is not None else self.drop_path_rate
+        use_dp = (not deterministic
+                  and (dp_rate is not None or self.drop_path_rate > 0))
+
         def dp(t):
-            rng = (self.make_rng("dropout")
-                   if (not deterministic and self.drop_path_rate > 0) else None)
-            return drop_path(t, self.drop_path_rate, deterministic, rng)
+            rng = self.make_rng("dropout") if use_dp else None
+            return drop_path(t, rate, deterministic, rng)
 
         if self.post_norm:
             a = ln("norm1")(dcn(x))
@@ -115,6 +128,32 @@ class InternImageLayer(nn.Module):
                 b = b * g2.astype(b.dtype)
             x = x + dp(b)
         return x
+
+
+class _StageLayer(nn.Module):
+    """One scan unit: a single InternImageLayer with `deterministic` frozen
+    as an attribute (scan would trace call-time args) and the per-layer
+    drop-path rate arriving as a scanned input."""
+
+    channels: int
+    groups: int
+    mlp_ratio: float
+    layer_scale: Optional[float]
+    offset_scale: float
+    post_norm: bool
+    dtype: jnp.dtype
+    deterministic: bool = True
+    use_dp: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, dpr: Array):
+        x = InternImageLayer(
+            self.channels, self.groups, self.mlp_ratio,
+            1.0 if self.use_dp else 0.0,  # placeholder; real rate is dpr
+            self.layer_scale, self.offset_scale, self.post_norm,
+            dtype=self.dtype, name="l")(
+            x, self.deterministic, dp_rate=dpr if self.use_dp else None)
+        return x, ()
 
 
 class InternImage(nn.Module):
@@ -142,12 +181,31 @@ class InternImage(nn.Module):
         li = 0
         for s, depth in enumerate(cfg.depths):
             ch = cfg.channels * (2 ** s)
-            for i in range(depth):
-                x = InternImageLayer(
-                    ch, cfg.groups[s], cfg.mlp_ratio, float(dpr[li]),
-                    cfg.layer_scale, cfg.offset_scale, cfg.post_norm,
-                    dtype=dtype, name=f"stage{s}_layer{i}")(x, deterministic)
-                li += 1
+            if cfg.scan:
+                scan = nn.scan(
+                    nn.remat(_StageLayer) if cfg.remat else _StageLayer,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=0, out_axes=0, length=depth)
+                stage = scan(ch, cfg.groups[s], cfg.mlp_ratio,
+                             cfg.layer_scale, cfg.offset_scale, cfg.post_norm,
+                             dtype, deterministic,
+                             not deterministic and cfg.drop_path_rate > 0,
+                             name=f"stage{s}_layers")
+                x, _ = stage(x, jnp.asarray(dpr[li:li + depth], jnp.float32))
+                li += depth
+            else:
+                for i in range(depth):
+                    layer = InternImageLayer(
+                        ch, cfg.groups[s], cfg.mlp_ratio, float(dpr[li]),
+                        cfg.layer_scale, cfg.offset_scale, cfg.post_norm,
+                        dtype=dtype, name=f"stage{s}_layer{i}")
+                    if cfg.remat:
+                        x = nn.remat(InternImageLayer.__call__,
+                                     static_argnums=(2,))(layer, x, deterministic)
+                    else:
+                        x = layer(x, deterministic)
+                    li += 1
             # reference InternImageBlock norms the STREAM before the
             # downsample when not post-norm (intern_image.py block forward)
             if not cfg.post_norm:

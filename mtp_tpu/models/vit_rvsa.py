@@ -356,7 +356,8 @@ class BlockGroup(nn.Module):
         for p in range(interval):
             full = (p == interval - 1)
             x = Block(self.dim, self.num_heads, self.mlp_ratio, full,
-                      self.grid_size, self.window_size, self.qkv_bias, 1.0,
+                      self.grid_size, self.window_size, self.qkv_bias,
+                      1.0 if self.use_dp else 0.0,  # placeholder; rate is dpr
                       self.init_values, dtype=self.dtype, pallas=self.pallas,
                       name=("full" if full else f"rvsa_{p}"))(
                 x, self.deterministic,

@@ -51,6 +51,16 @@ def anchors_for(det: Optional[DetConfig], img_hw: Tuple[int, int]) -> np.ndarray
     return gen.grid_flat(sizes)
 
 
+def anchor_level_sizes(img_hw: Tuple[int, int]) -> Tuple[int, ...]:
+    """Static per-level flat anchor counts for the same 5-level grid — feeds
+    gen_proposals' per-level top-k (reference rpn_head.py:236-304 takes
+    nms_pre per level, not globally)."""
+    gen = AnchorGenerator(strides=(4, 8, 16, 32, 64))
+    return tuple(
+        ((img_hw[0] + s - 1) // s) * ((img_hw[1] + s - 1) // s) * gen.num_base
+        for s in (4, 8, 16, 32, 64))
+
+
 class Detections(NamedTuple):
     boxes: Array    # (B, N, 4|5)
     scores: Array   # (B, N)
@@ -145,7 +155,8 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
     # ---------------- proposals (no grad) ----------------
     props, prop_scores = gen_proposals(
         jax.tree.map(jax.lax.stop_gradient, rpn_out), A, (H, W),
-        det.nms_pre, det.max_proposals, det.rpn_nms_iou, det.rotated)
+        det.nms_pre, det.max_proposals, det.rpn_nms_iou, det.rotated,
+        level_sizes=anchor_level_sizes((H, W)))
 
     # add gt as proposals (reference rcnn sampler add_gt_as_proposals=True)
     props_all = jnp.concatenate([props, gt_boxes], axis=1)
@@ -277,7 +288,8 @@ def det_predict_core(det: DetConfig, anchors: np.ndarray,
     props, prop_scores = gen_proposals(rpn_out, A, (H, W),
                                        nms_pre or det.nms_pre,
                                        det.max_proposals, det.rpn_nms_iou,
-                                       det.rotated)
+                                       det.rotated,
+                                       level_sizes=anchor_level_sizes((H, W)))
 
     P = props.shape[1]
     flat_rois = props.reshape(B * P, props.shape[-1])

@@ -337,3 +337,43 @@ def test_mask_trunk_carafe_option():
         params = trunk.init(jax.random.PRNGKey(0), x)
         y = trunk.apply(params, x)
         assert y.shape == (2, 28, 28, 16), up
+
+
+def test_gen_proposals_per_level_topk():
+    """Per-level nms_pre (reference rpn_head rule): a level whose scores are
+    globally dominated still contributes its own top-k candidates."""
+    from mtp_tpu.heads.rpn import RPNOut, gen_proposals
+    from mtp_tpu.tasks.detection import anchor_level_sizes, anchors_for
+
+    img = (64, 64)
+    sizes = anchor_level_sizes(img)
+    A = jnp.asarray(anchors_for(None, img))
+    total = int(A.shape[0])
+    assert sum(sizes) == total
+
+    rng = np.random.default_rng(0)
+    # level 0 scores in [10, 11] dominate; deeper levels in [0, 1]
+    scores = rng.uniform(0, 1, (1, total)).astype(np.float32)
+    scores[0, :sizes[0]] += 10.0
+    deltas = np.zeros((1, total, 4), np.float32)
+    out = RPNOut(jnp.asarray(scores), jnp.asarray(deltas))
+
+    k = 8
+    # global top-k: every candidate comes from level 0
+    bg, sg = gen_proposals(out, A, img, nms_pre=k, max_per_img=8,
+                           iou_thr=0.99)
+    # per-level: deeper levels contribute (scores below 10 present).
+    # max_per_img exceeds level 0's k, so lower levels survive the NMS cap.
+    bl, sl = gen_proposals(out, A, img, nms_pre=k, max_per_img=32,
+                           iou_thr=0.99, level_sizes=sizes)
+    sg, sl = np.asarray(sg[0]), np.asarray(sl[0])
+    assert (sg[sg > NEG_INF / 2] > 10).all()
+    assert (sl[sl > NEG_INF / 2] < 10).any()
+
+    # equivalence when k covers every level fully
+    bg2, sg2 = gen_proposals(out, A, img, nms_pre=total, max_per_img=16,
+                             iou_thr=0.99)
+    bl2, sl2 = gen_proposals(out, A, img, nms_pre=total, max_per_img=16,
+                             iou_thr=0.99, level_sizes=sizes)
+    np.testing.assert_allclose(np.asarray(sg2), np.asarray(sl2))
+    np.testing.assert_allclose(np.asarray(bg2), np.asarray(bl2))

@@ -69,3 +69,55 @@ def test_scan_layer_decay_scales():
     np.testing.assert_allclose(np.asarray(full).ravel()[:2],
                                [0.5 ** 3, 0.5 ** 1])  # blocks 1 and 3
     assert scales["pos_embed"] == 0.5 ** 5
+
+
+def test_internimage_stage_layout_roundtrip():
+    from mtp_tpu.ckpt.torch_convert import (from_stage_scan_layout,
+                                            to_stage_scan_layout)
+    import dataclasses
+    from mtp_tpu.models.internimage import InternImage, internimage_t
+
+    cfg = dataclasses.replace(internimage_t(), channels=16,
+                              depths=(2, 3, 2, 2), groups=(2, 4, 8, 16),
+                              dtype="float32")
+    m = InternImage(cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    p = jax.tree.map(np.asarray,
+                     m.init(jax.random.PRNGKey(0), x)["params"])
+    back = from_stage_scan_layout(to_stage_scan_layout(p, cfg.depths),
+                                  cfg.depths)
+    jax.tree.map(np.testing.assert_array_equal, p, back)
+
+
+def test_internimage_scanned_layer_decay_scales():
+    """Per-slice layer-decay scales of the scanned InternImage layout equal
+    the unrolled per-layer scales (reference stage-cumulative ids)."""
+    import dataclasses
+    from mtp_tpu.ckpt.torch_convert import to_stage_scan_layout
+    from mtp_tpu.core.optim import layer_decay_scales
+    from mtp_tpu.models.backbones import internimage_layer_id
+    from mtp_tpu.models.internimage import InternImage, internimage_t
+
+    depths = (2, 2, 3, 2)
+    cfg = dataclasses.replace(internimage_t(), channels=16, depths=depths,
+                              groups=(2, 4, 8, 16), dtype="float32")
+    m = InternImage(cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    p = jax.tree.map(np.asarray, m.init(jax.random.PRNGKey(0), x)["params"])
+    depth = sum(depths)
+    rate = 0.9
+    lid = lambda s, n: internimage_layer_id(s, n, depths)
+    flat_ref = layer_decay_scales(p, depth, rate, lid)
+    ps = to_stage_scan_layout(p, depths)
+    flat_scan = layer_decay_scales(ps, depth, rate, lid)
+    # stage 2 (starts after 4 layers), slice 1 → layer id 6
+    sc = np.asarray(flat_scan["stage2_layers"]["l"]["mlp"]["fc1"]["kernel"])
+    ref0 = np.asarray(flat_ref["stage2_layer0"]["mlp"]["fc1"]["kernel"])
+    ref1 = np.asarray(flat_ref["stage2_layer1"]["mlp"]["fc1"]["kernel"])
+    assert sc.shape[0] == 3 and sc.ndim == 3
+    np.testing.assert_allclose(sc[0].ravel()[0], ref0, rtol=1e-6)
+    np.testing.assert_allclose(sc[1].ravel()[0], ref1, rtol=1e-6)
+    # stem/downsample scales unchanged by the layout
+    np.testing.assert_allclose(
+        np.asarray(flat_scan["stem_conv1"]["kernel"]),
+        np.asarray(flat_ref["stem_conv1"]["kernel"]))
