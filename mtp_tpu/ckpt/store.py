@@ -79,3 +79,21 @@ def load_encoder(path: str) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = flat[key]
     return tree
+
+
+def save_variables(path: str, variables: dict) -> None:
+    """Full model variables ({'params': ..., 'batch_stats': ...}) as one
+    .npz — the artifact tools/validate.py produces from a released
+    finetuned torch checkpoint."""
+    save_encoder(path, variables)
+
+
+def load_variables(path: str) -> dict:
+    """Inverse of save_variables; load_encoder's flattening is shared, so a
+    file is a full-variables artifact iff its keys start with 'params/'."""
+    return load_encoder(path)
+
+
+def npz_is_full_variables(path: str) -> bool:
+    with np.load(path) as flat:
+        return any(k.startswith("params/") for k in flat.files)

@@ -218,7 +218,7 @@ def run_seg_labels(task, state, cfg, args):
     return 0
 
 
-def main(argv=None):
+def main(argv=None, return_metrics=False):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("recipe")
     p.add_argument("--ckpt", default=None, help="orbax dir or encoder .npz")
@@ -341,6 +341,8 @@ def main(argv=None):
                       "results": {k: (round(v, 4) if isinstance(v, float) else v)
                                   for k, v in res.items()
                                   if not isinstance(v, list)}}))
+    if return_metrics:
+        return {k: v for k, v in res.items() if not isinstance(v, list)}
     return 0
 
 

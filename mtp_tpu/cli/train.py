@@ -67,15 +67,32 @@ def shrink_recipe(recipe, img_size):
 
 def init_or_restore(task, ckpt):
     """Fresh state, optionally loaded from an encoder .npz (pretrained
-    backbone) or an orbax checkpoint dir (full state)."""
+    backbone), a full-variables .npz (converted released finetuned model,
+    tools/validate.py), or an orbax checkpoint dir (full state)."""
     import jax
+    import jax.numpy as jnp
 
     pretrained = None
+    variables = None
     if ckpt and ckpt.endswith(".npz"):
-        from mtp_tpu.ckpt.store import load_encoder
-        pretrained = load_encoder(ckpt)
+        from mtp_tpu.ckpt.store import (load_encoder, load_variables,
+                                        npz_is_full_variables)
+        if npz_is_full_variables(ckpt):
+            variables = load_variables(ckpt)
+        else:
+            pretrained = load_encoder(ckpt)
     state = task.init_state(jax.random.PRNGKey(0),
                             pretrained_backbone=pretrained)
+    if variables is not None:
+        def place(old, new):
+            new = jnp.asarray(new, jnp.asarray(old).dtype)
+            assert new.shape == old.shape, (new.shape, old.shape)
+            return jax.device_put(new, old.sharding)
+
+        state = state.replace(
+            params=jax.tree.map(place, state.params, variables["params"]),
+            batch_stats=jax.tree.map(place, state.batch_stats,
+                                     variables.get("batch_stats", {})))
     if ckpt and not ckpt.endswith(".npz"):
         from mtp_tpu.ckpt.store import CheckpointStore
         restored = CheckpointStore(ckpt).restore(state)

@@ -324,6 +324,8 @@ def _():
 _ALIASES = {
     "vit-rvsa-b-224-mae-mtp_eurosat": "vit-rvsa-b-224-mae-mtp_eurosat",
     "vit-rvsa-b-224-mae-mtp_resisc45": "vit-rvsa-b-224-mae-mtp_nwpu28",
+    "vit-rvsa-l-224-mae-mtp_resisc45": "vit-rvsa-l-224-mae-mtp_nwpu28",
+    "intern-xl-224-imp-mtp_resisc45": "intern-xl-224-imp-mtp_nwpu28",
     "rvsa-b-upernet-384-mae-mtp-spacenetv1":
         "rvsa-b-upernet-384-mae-mtp-spacenetv1",
     "oriented_rcnn_rvsa_l_1024_mae_mtp_dota":

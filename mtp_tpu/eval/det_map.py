@@ -89,28 +89,33 @@ def average_precision(recall: np.ndarray, precision: np.ndarray,
 def tpfp(det_boxes: np.ndarray, det_scores: np.ndarray,
          gt_boxes: np.ndarray, gt_ignore: np.ndarray, iou_thr: float,
          iou_fn: Callable) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy score-sorted matching (reference tpfp_default semantics):
-    each det matches the best unmatched non-ignored gt with IoU >= thr;
-    matches to ignored gts count as neither TP nor FP."""
+    """Greedy score-sorted matching, exact reference `tpfp_default`
+    semantics (rotated_detection/metric.py:93): each det considers ONLY its
+    argmax-IoU gt — if that gt clears the threshold and is uncovered it's a
+    TP, if covered it's an FP (no re-matching to the next-best gt; pinned by
+    tests/test_reference_eval_parity.py).  Dets whose argmax gt is ignored
+    count as neither TP nor FP."""
     nd = len(det_boxes)
     tp = np.zeros(nd)
     fp = np.zeros(nd)
+    if len(gt_boxes) == 0:
+        fp[:] = 1
+        return tp, fp
     matched = np.zeros(len(gt_boxes), bool)
     order = np.argsort(-det_scores)
-    ious = iou_fn(det_boxes, gt_boxes) if len(gt_boxes) else None
+    ious = iou_fn(det_boxes, gt_boxes)
+    ious_max = ious.max(axis=1) if nd else np.zeros(0)
+    ious_argmax = ious.argmax(axis=1) if nd else np.zeros(0, np.int64)
     for di in order:
-        best_iou, best_g = iou_thr, -1
-        if ious is not None:
-            for g in range(len(gt_boxes)):
-                if matched[g] and not gt_ignore[g]:
-                    continue
-                if ious[di, g] >= best_iou:
-                    best_iou, best_g = ious[di, g], g
-        if best_g >= 0:
-            if gt_ignore[best_g]:
+        if ious_max[di] >= iou_thr:
+            g = ious_argmax[di]
+            if gt_ignore[g]:
                 continue  # neither tp nor fp
-            matched[best_g] = True
-            tp[di] = 1
+            if not matched[g]:
+                matched[g] = True
+                tp[di] = 1
+            else:
+                fp[di] = 1
         else:
             fp[di] = 1
     return tp, fp

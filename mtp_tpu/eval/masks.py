@@ -63,18 +63,24 @@ def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, height: int,
         if bw <= 0 or bh <= 0:
             continue
         # sample the mask grid at the centers of the output pixels
-        # (grid aligned to the box extent, align_corners=False semantics)
+        # (grid aligned to the box extent, align_corners=False + zero padding
+        # — reference _do_paste_mask / detectron2 grid_sample semantics: the
+        # outermost ring fades toward 0 instead of clamping to the border)
         ys = (np.arange(bh) + y1i + 0.5 - y1) / max(y2 - y1, 1e-6) * m - 0.5
         xs = (np.arange(bw) + x1i + 0.5 - x1) / max(x2 - x1, 1e-6) * m - 0.5
-        y0 = np.clip(np.floor(ys), 0, m - 1).astype(np.int64)
-        x0 = np.clip(np.floor(xs), 0, m - 1).astype(np.int64)
-        y1f = np.clip(ys - y0, 0.0, 1.0)
-        x1f = np.clip(xs - x0, 0.0, 1.0)
-        y1c = np.clip(y0 + 1, 0, m - 1)
-        x1c = np.clip(x0 + 1, 0, m - 1)
+        y0 = np.floor(ys).astype(np.int64)
+        x0 = np.floor(xs).astype(np.int64)
+        y1f = ys - y0
+        x1f = xs - x0
         g = mask_probs[i]
-        top = g[y0][:, x0] * (1 - x1f) + g[y0][:, x1c] * x1f
-        bot = g[y1c][:, x0] * (1 - x1f) + g[y1c][:, x1c] * x1f
+
+        def take(yy, xx):
+            v = (((yy >= 0) & (yy < m))[:, None]
+                 & ((xx >= 0) & (xx < m))[None, :])
+            return g[yy.clip(0, m - 1)[:, None], xx.clip(0, m - 1)[None, :]] * v
+
+        top = take(y0, x0) * (1 - x1f) + take(y0, x0 + 1) * x1f
+        bot = take(y0 + 1, x0) * (1 - x1f) + take(y0 + 1, x0 + 1) * x1f
         patch = top * (1 - y1f)[:, None] + bot * y1f[:, None]
         out[i, y1i:y2i, x1i:x2i] = (patch >= thr).astype(np.uint8)
     return out

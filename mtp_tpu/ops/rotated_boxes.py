@@ -366,9 +366,23 @@ def midpoint_decode(anchors: Array, deltas: Array,
     # the rotated rectangle's vertices each touch one hbb edge: top vertex on
     # the top edge at x = gx + da*gw, right vertex on the right edge at
     # y = gy + db*gh; the opposite vertices follow by central symmetry
-    top = jnp.stack([gx + da * gw, gy - gh / 2], -1)
-    right = jnp.stack([gx + gw / 2, gy + db * gh], -1)
-    bottom = jnp.stack([gx - da * gw, gy + gh / 2], -1)
-    left = jnp.stack([gx - gw / 2, gy - db * gh], -1)
-    quad = jnp.concatenate([top, right, bottom, left], axis=-1)  # (..., 8)
-    return qbox_to_rbox(quad)
+    #
+    # Rectification = mmrotate MidpointOffsetCoder.delta2bbox: scale each
+    # vertex radially to the LONGEST diagonal (u' ⟂-symmetric pairs at equal
+    # radius form an exact rectangle: (v'-u')·(v'+u') = |v'|²-|u'|² = 0).
+    # NOT a min-area rectangle — min-area collapses to a zero-height box
+    # whenever the parallelogram degenerates toward a line (random-init RPN
+    # deltas hit this), which exploded the downstream encode targets.
+    u = jnp.stack([da * gw, -gh / 2], -1)        # top - center
+    v = jnp.stack([gw / 2, db * gh], -1)         # right - center
+    ru = jnp.linalg.norm(u, axis=-1)
+    rv = jnp.linalg.norm(v, axis=-1)
+    r = jnp.maximum(ru, rv)
+    u = u * (r / jnp.maximum(ru, 1e-6))[..., None]
+    v = v * (r / jnp.maximum(rv, 1e-6))[..., None]
+    e1 = v - u
+    w = jnp.linalg.norm(e1, axis=-1)
+    h = jnp.linalg.norm(v + u, axis=-1)
+    theta = jnp.arctan2(e1[..., 1], e1[..., 0])
+    rect = jnp.stack([gx, gy, w, h, theta], axis=-1)
+    return regularize_le90(rect)

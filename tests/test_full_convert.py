@@ -1,0 +1,318 @@
+"""Full finetuned-checkpoint conversion: golden key inventory + numerics.
+
+Pins the released-checkpoint format (mm naming, derivable from the reference
+finetune configs) so `tools/validate.py` is runnable the day real artifacts
+are mounted:
+
+- the synthetic state_dicts below carry the EXACT key inventory of the
+  released EncoderDecoder/ImageClassifier/SiamEncoderDecoder checkpoints
+  (backbone.* keys from the reference RVSA module's own state_dict, head
+  keys per the config structure),
+- conversion must consume them into trees that match our models' init
+  shapes EXACTLY (missing/mis-shaped keys fail the tree compare),
+- the UperNet head conversion is additionally checked numerically against a
+  torch execution of the mmseg ConvModule/PSP/FPN math.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mtp_tpu.utils.config import BackboneConfig
+
+
+def _tiny_cfg(img=64):
+    return BackboneConfig(img_size=img, patch_size=16, embed_dim=32,
+                          depth=4, num_heads=2, interval=2,
+                          out_indices=(0, 1, 2, 3), dtype="float32",
+                          drop_path_rate=0.0)
+
+
+def _rvsa_torch_sd(cfg, rng):
+    """Synthetic torch state_dict with the reference RVSA key inventory
+    (vit_win_rvsa_v3_wsz7 / vit_rvsa_mtp naming)."""
+    import torch
+
+    g = cfg.img_size // cfg.patch_size
+    D, ws = cfg.embed_dim, 7
+    hd = D // cfg.num_heads
+    sd = {}
+    t = lambda *s: torch.from_numpy(rng.standard_normal(s).astype("float32") * 0.1)
+    sd["patch_embed.proj.weight"] = t(D, 3, cfg.patch_size, cfg.patch_size)
+    sd["patch_embed.proj.bias"] = t(D)
+    sd["pos_embed"] = t(1, g * g, D)
+    for i in range(cfg.depth):
+        full = (i + 1) % cfg.interval == 0
+        p = f"blocks.{i}."
+        sd[p + "norm1.weight"] = t(D)
+        sd[p + "norm1.bias"] = t(D)
+        sd[p + "norm2.weight"] = t(D)
+        sd[p + "norm2.bias"] = t(D)
+        sd[p + "attn.qkv.weight"] = t(3 * D, D)
+        sd[p + "attn.qkv.bias"] = t(3 * D)
+        sd[p + "attn.proj.weight"] = t(D, D)
+        sd[p + "attn.proj.bias"] = t(D)
+        sd[p + "mlp.fc1.weight"] = t(4 * D, D)
+        sd[p + "mlp.fc1.bias"] = t(4 * D)
+        sd[p + "mlp.fc2.weight"] = t(D, 4 * D)
+        sd[p + "mlp.fc2.bias"] = t(D)
+        if full:
+            sd[p + "attn.full_attn_rel_pos_h"] = t(2 * g - 1, hd)
+            sd[p + "attn.full_attn_rel_pos_w"] = t(2 * g - 1, hd)
+        else:
+            sd[p + "attn.rel_pos_h"] = t(2 * ws - 1, hd)
+            sd[p + "attn.rel_pos_w"] = t(2 * ws - 1, hd)
+            sd[p + "attn.relative_position_bias_table"] = t(
+                (2 * ws - 1) ** 2, cfg.num_heads)
+            for nm in ("sampling_offsets", "sampling_scales",
+                       "sampling_angles"):
+                out = cfg.num_heads * (1 if nm == "sampling_angles" else 2)
+                sd[p + f"attn.{nm}.2.weight"] = t(out, D, 1, 1)
+                sd[p + f"attn.{nm}.2.bias"] = t(out)
+    sd["fpn1.0.weight"] = t(D, D, 2, 2)
+    sd["fpn1.0.bias"] = t(D)
+    sd["fpn1.1.ln.weight"] = t(D)
+    sd["fpn1.1.ln.bias"] = t(D)
+    sd["fpn1.3.weight"] = t(D, D, 2, 2)
+    sd["fpn1.3.bias"] = t(D)
+    sd["fpn2.0.weight"] = t(D, D, 2, 2)
+    sd["fpn2.0.bias"] = t(D)
+    return sd
+
+
+def _upernet_torch_sd(rng, in_ch=32, ch=16, ncls=3):
+    import torch
+
+    t = lambda *s: torch.from_numpy(rng.standard_normal(s).astype("float32") * 0.1)
+    sd = {}
+
+    def convmodule(name, cin, cout):
+        sd[name + ".conv.weight"] = t(cout, cin, *k)
+        sd[name + ".bn.weight"] = torch.abs(t(cout)) + 0.5
+        sd[name + ".bn.bias"] = t(cout)
+        sd[name + ".bn.running_mean"] = t(cout) * 0.1
+        sd[name + ".bn.running_var"] = torch.abs(t(cout)) + 1.0
+
+    k = (1, 1)
+    for j in range(4):
+        convmodule(f"decode_head.psp_modules.{j}.1", in_ch, ch)
+    for i in range(3):
+        convmodule(f"decode_head.lateral_convs.{i}", in_ch, ch)
+    k = (3, 3)
+    convmodule("decode_head.bottleneck", in_ch + 4 * ch, ch)
+    for i in range(3):
+        convmodule(f"decode_head.fpn_convs.{i}", ch, ch)
+    convmodule("decode_head.fpn_bottleneck", 4 * ch, ch)
+    sd["decode_head.conv_seg.weight"] = t(ncls, ch, 1, 1)
+    sd["decode_head.conv_seg.bias"] = t(ncls)
+    return sd
+
+
+def _torch_upernet_forward(sd, feats_nchw, ch=16):
+    """mmseg UPerHead math in torch (ConvModule conv→bn→relu, PSP 1/2/3/6,
+    align_corners=False) — the conversion oracle."""
+    import torch
+    import torch.nn.functional as F
+
+    def cm(name, x, k):
+        w = sd[name + ".conv.weight"]
+        x = F.conv2d(x, w, padding=k // 2)
+        x = F.batch_norm(x, sd[name + ".bn.running_mean"],
+                         sd[name + ".bn.running_var"],
+                         sd[name + ".bn.weight"], sd[name + ".bn.bias"],
+                         training=False, eps=1e-5)
+        return F.relu(x)
+
+    up = lambda x, s: F.interpolate(x, size=s, mode="bilinear",
+                                    align_corners=False)
+    f = [torch.from_numpy(t) for t in feats_nchw]
+    psp_in = f[-1]
+    psp_outs = [psp_in]
+    for j, s in enumerate((1, 2, 3, 6)):
+        p = F.adaptive_avg_pool2d(psp_in, s)
+        p = cm(f"decode_head.psp_modules.{j}.1", p, 1)
+        psp_outs.append(up(p, psp_in.shape[2:]))
+    psp = cm("decode_head.bottleneck", torch.cat(psp_outs, 1), 3)
+
+    laterals = [cm(f"decode_head.lateral_convs.{i}", f[i], 1)
+                for i in range(3)] + [psp]
+    for i in range(3, 0, -1):
+        laterals[i - 1] = laterals[i - 1] + up(laterals[i],
+                                               laterals[i - 1].shape[2:])
+    outs = [cm(f"decode_head.fpn_convs.{i}", laterals[i], 3)
+            for i in range(3)] + [laterals[3]]
+    outs = [up(o, outs[0].shape[2:]) for o in outs]
+    x = cm("decode_head.fpn_bottleneck", torch.cat(outs, 1), 3)
+    x = F.conv2d(x, sd["decode_head.conv_seg.weight"],
+                 sd["decode_head.conv_seg.bias"])
+    return x.numpy()
+
+
+def _assert_same_tree(got, want, where=""):
+    assert set(got) == set(want), (
+        where, sorted(set(got) ^ set(want)))
+    for k in got:
+        if isinstance(want[k], dict):
+            _assert_same_tree(got[k], want[k], where + "/" + k)
+        else:
+            assert np.asarray(got[k]).shape == np.asarray(want[k]).shape, (
+                where + "/" + k, np.asarray(got[k]).shape,
+                np.asarray(want[k]).shape)
+
+
+def _save_ckpt(tmp_path, sd, extra_prefix="backbone.", bb_sd=None):
+    import torch
+
+    full = {}
+    if bb_sd:
+        full.update({extra_prefix + k: v for k, v in bb_sd.items()})
+    full.update(sd)
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"state_dict": full}, path)
+    return path
+
+
+def test_segmentor_full_checkpoint_golden(tmp_path):
+    from mtp_tpu.ckpt.full_convert import convert_full_checkpoint
+    from mtp_tpu.models.segmentor import Segmentor
+
+    rng = np.random.default_rng(0)
+    cfg = _tiny_cfg()
+    path = _save_ckpt(tmp_path, _upernet_torch_sd(rng, in_ch=32, ch=16),
+                      bb_sd=_rvsa_torch_sd(cfg, rng))
+    # our Segmentor at matching channel width
+    model = Segmentor(cfg, num_classes=3, channels=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    want = model.init(jax.random.PRNGKey(0), x, train=True)
+    got = convert_full_checkpoint(path, "segmentation", cfg)
+    _assert_same_tree(got["params"], jax.tree.map(np.asarray, want["params"]))
+    _assert_same_tree(got["batch_stats"],
+                      jax.tree.map(np.asarray, want["batch_stats"]))
+
+    # numeric oracle on the head: same pyramid through torch-mm math
+    feats = [rng.standard_normal((1, 32, s, s)).astype(np.float32)
+             for s in (16, 8, 4, 2)]
+    import torch
+    ref = _torch_upernet_forward(
+        {k[0:]: torch.as_tensor(v) for k, v in
+         load_sd(path).items() if k.startswith("decode_head.")}, feats)
+    from mtp_tpu.heads.upernet import UperNetHead
+    head = UperNetHead(3, channels=16)
+    out = head.apply({"params": got["params"]["decode_head"],
+                      "batch_stats": got["batch_stats"]["decode_head"]},
+                     [jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats],
+                     train=False)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=2e-4, rtol=1e-3)
+
+
+def load_sd(path):
+    from mtp_tpu.ckpt.torch_convert import load_torch_checkpoint
+    return load_torch_checkpoint(path)
+
+
+def test_classifier_full_checkpoint_golden(tmp_path):
+    import torch
+
+    from mtp_tpu.ckpt.full_convert import convert_full_checkpoint
+    from mtp_tpu.models.classifier import ImageClassifier
+
+    rng = np.random.default_rng(1)
+    cfg = _tiny_cfg()
+    head_sd = {"head.fc.weight": torch.from_numpy(
+        rng.standard_normal((5, 32)).astype(np.float32)),
+        "head.fc.bias": torch.from_numpy(
+            rng.standard_normal(5).astype(np.float32))}
+    path = _save_ckpt(tmp_path, head_sd, bb_sd=_rvsa_torch_sd(cfg, rng))
+    model = ImageClassifier(cfg, num_classes=5)
+    want = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    got = convert_full_checkpoint(path, "classification", cfg)
+    _assert_same_tree(got["params"], jax.tree.map(np.asarray, want["params"]))
+
+
+def test_change_detection_full_checkpoint_golden(tmp_path):
+    import torch
+
+    from mtp_tpu.ckpt.full_convert import convert_full_checkpoint
+    from mtp_tpu.models.change_detection import SiamChangeDetector
+
+    rng = np.random.default_rng(2)
+    cfg = _tiny_cfg()
+    t = lambda *s: torch.from_numpy(
+        rng.standard_normal(s).astype(np.float32) * 0.1)
+    sd = {}
+    chans = [(32 + 32, 512), (512 + 32, 256), (256 + 32, 128), (128, 64)]
+    for i, (cin, cout) in enumerate(chans):
+        for c, ci in (("conv1", cin), ("conv2", cout)):
+            sd[f"decode_head.blocks.{i}.{c}.0.weight"] = t(cout, ci, 3, 3)
+            sd[f"decode_head.blocks.{i}.{c}.1.weight"] = torch.abs(t(cout)) + 0.5
+            sd[f"decode_head.blocks.{i}.{c}.1.bias"] = t(cout)
+            sd[f"decode_head.blocks.{i}.{c}.1.running_mean"] = t(cout)
+            sd[f"decode_head.blocks.{i}.{c}.1.running_var"] = \
+                torch.abs(t(cout)) + 1.0
+    sd["decode_head.conv_seg.weight"] = t(2, 64, 1, 1)
+    sd["decode_head.conv_seg.bias"] = t(2)
+    path = _save_ckpt(tmp_path, sd, bb_sd=_rvsa_torch_sd(cfg, rng))
+
+    model = SiamChangeDetector(cfg, num_classes=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    want = model.init(jax.random.PRNGKey(0), x, x, train=True)
+    got = convert_full_checkpoint(path, "change_detection", cfg)
+    _assert_same_tree(got["params"], jax.tree.map(np.asarray, want["params"]))
+    _assert_same_tree(got["batch_stats"],
+                      jax.tree.map(np.asarray, want["batch_stats"]))
+
+
+def test_validate_runbook_end_to_end(tmp_path):
+    """tools/validate.py chain on a tiny synthetic 'released' checkpoint +
+    on-disk image-folder dataset: .pth → full convert → eval → delta line."""
+    import importlib.util
+    import torch
+    from PIL import Image
+
+    from mtp_tpu import configs
+    from mtp_tpu.utils.config import (OptimizerConfig, ScheduleConfig,
+                                      TaskConfig, TrainConfig, MeshConfig)
+
+    cfg = _tiny_cfg()
+
+    @configs.register("_tiny_cls_validate")
+    def _recipe():
+        return configs.Recipe(
+            "_tiny_cls_validate",
+            TaskConfig(task="classification", num_classes=3, backbone=cfg,
+                       train=TrainConfig(
+                           batch_size=4, mesh=MeshConfig(data=1),
+                           optimizer=OptimizerConfig(lr=1e-3),
+                           schedule=ScheduleConfig(total_steps=4))),
+            dataset="eurosat")
+
+    rng = np.random.default_rng(3)
+    head_sd = {"head.fc.weight": torch.from_numpy(
+        rng.standard_normal((3, 32)).astype(np.float32)),
+        "head.fc.bias": torch.zeros(3)}
+    ckpt = _save_ckpt(tmp_path, head_sd, bb_sd=_rvsa_torch_sd(cfg, rng))
+
+    root = tmp_path / "data"
+    for split in ("val",):
+        for c in ("a", "b", "c"):
+            d = root / split / c
+            d.mkdir(parents=True)
+            for i in range(2):
+                Image.fromarray(
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                ).save(d / f"{i}.png")
+
+    spec = importlib.util.spec_from_file_location(
+        "validate", "/root/repo/tools/validate.py")
+    v = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(v)
+    v.BASELINES["_tiny_cls_validate"] = ("top1", 33.3)
+    out = tmp_path / "rec.json"
+    rc = v.main(["_tiny_cls_validate", "--ckpt", str(ckpt),
+                 "--data-root", str(root), "--out", str(out)])
+    assert rc == 0
+    import json
+    rec = json.loads(out.read_text())
+    assert rec["metric"] == "top1" and "delta" in rec
