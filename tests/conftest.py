@@ -23,5 +23,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache: the slow lane is dominated by jit compiles of
+# the big train-step programs on this 1-core host — cached reruns of the
+# full slow lane drop from ~55 min to minutes.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.devices()[0].platform == os.environ["JAX_PLATFORMS"], (
     "test platform override failed", jax.devices())

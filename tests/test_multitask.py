@@ -64,9 +64,18 @@ def data_gen():
         i += 1
 
 
-def test_multitask_pretrain_e2e(tmp_path):
-    task = MultiTaskPretrainTask(CFG, classes=CLASSES,
+# The e2e is split into train / validation halves so each piece compiles
+# and completes in bounded time on the 1-core host (the train-step and the
+# 3 predict programs are the two compile humps; with the persistent compile
+# cache in conftest.py, reruns are minutes, not tens of minutes).
+
+def _make_task():
+    return MultiTaskPretrainTask(CFG, classes=CLASSES,
                                  det_overrides=DET_OVERRIDES)
+
+
+def test_multitask_pretrain_train_e2e(tmp_path):
+    task = _make_task()
     state = task.init_state(jax.random.PRNGKey(0))
 
     # 9-way loss keys present after one step
@@ -109,8 +118,13 @@ def test_multitask_pretrain_e2e(tmp_path):
     want = np.asarray(state.params["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"])
     np.testing.assert_allclose(got, want, atol=0)
 
-    # 9-way validation branch (reference validation()); IS reports the COCO
-    # protocol incl. segm (mask-IoU) mAP like the reference IS metric
+
+def test_multitask_validation_protocol():
+    """9-way validation branch (reference validation()) on a fresh state;
+    IS reports the COCO protocol incl. segm (mask-IoU) mAP like the
+    reference IS metric."""
+    task = _make_task()
+    state = task.init_state(jax.random.PRNGKey(0))
     res = task.evaluate(state, iter([synth_batch(seed=99)]))
     for d in range(3):
         for k in (f"ss_d{d}_mIoU", f"is_d{d}_mAP50", f"is_d{d}_mAP",
