@@ -107,7 +107,8 @@ def bench_pretrain():
             schedule=ScheduleConfig(kind="cosine", total_steps=80000,
                                     warmup_steps=1500),
             mesh=MeshConfig(data=1, model=1)))
-    task = MultiTaskPretrainTask(cfg)
+    det_overrides = json.loads(os.environ.get("BENCH_DET_OVERRIDES", "{}"))
+    task = MultiTaskPretrainTask(cfg, det_overrides=det_overrides)
 
     t0 = time.perf_counter()
     state = task.init_state(jax.random.PRNGKey(0))

@@ -75,20 +75,60 @@ def nms_mask(ious: Array, scores: Array, iou_thr: float,
 
 
 def nms(boxes: Array, scores: Array, iou_thr: float,
-        max_out: int, iou_fn: Callable[[Array, Array], Array] = None
-        ) -> Tuple[Array, Array]:
+        max_out: int, iou_fn: Callable[[Array, Array], Array] = None,
+        block: int = 128) -> Tuple[Array, Array]:
     """Fixed-shape NMS.
 
     boxes (N, 4[+]), scores (N,) with -inf padding → (idx (max_out,),
     keep_scores (max_out,)); idx is into the input, padded entries have
     score -inf (idx points at an arbitrary suppressed slot).
+
+    Same greedy semantics as `nms_mask`, but the (N, N) IoU matrix is never
+    materialized: boxes are gathered into score order ONCE (N×D) and each
+    outer tile computes its (block, N) IoU rows on the fly.  At the RPN
+    pretrain shape (N≈6.7k per head, 6 heads/step) this removes a 181 MB
+    HBM intermediate plus two full (N, N) gathers per head.
     """
     iou_fn = iou_fn or (lambda a, b: bbox_overlaps(a, b))
-    ious = iou_fn(boxes, boxes)
-    keep = nms_mask(ious, scores, iou_thr)
-    kept_scores = jnp.where(keep, scores, NEG_INF)
-    top_scores, idx = jax.lax.top_k(kept_scores, max_out)
-    return idx, top_scores
+    n = scores.shape[0]
+    order = jnp.argsort(-scores)  # high→low
+    boxes_o = boxes[order]
+    scores_o = scores[order]
+    valid = scores_o > NEG_INF / 2
+
+    T = min(block, n)
+    n_pad = (n + T - 1) // T * T
+    if n_pad != n:
+        boxes_o = jnp.pad(boxes_o, ((0, n_pad - n), (0, 0)))
+        valid = jnp.pad(valid, (0, n_pad - n))
+    iota_T = jnp.arange(T)
+    iota_N = jnp.arange(n_pad)
+
+    def outer(bi, alive):
+        s = bi * T
+        blk = jax.lax.dynamic_slice(
+            boxes_o, (s, 0), (T, boxes_o.shape[1]))
+        rows = iou_fn(blk, boxes_o)                               # (T, N)
+        intra = jax.lax.dynamic_slice_in_dim(rows, s, T, axis=1)  # (T, T)
+        a_blk = jax.lax.dynamic_slice(alive, (s,), (T,))
+
+        def inner(i, ab):
+            sup = (intra[i] > iou_thr) & (iota_T > i)
+            return jnp.where(ab[i], ab & ~sup, ab)
+
+        a_blk = jax.lax.fori_loop(0, T, inner, a_blk)
+        alive = jax.lax.dynamic_update_slice(alive, a_blk, (s,))
+        # kept boxes of this tile suppress all later boxes at once
+        sup_later = ((rows > iou_thr) & a_blk[:, None]).any(0)
+        return alive & ~(sup_later & (iota_N >= s + T))
+
+    alive = jax.lax.fori_loop(0, n_pad // T, outer,
+                              jnp.ones((n_pad,), bool) & valid)
+    keep_o = alive[:n] & valid[:n]
+    # scores are descending, so top_k over kept sorted scores keeps order
+    kept_scores = jnp.where(keep_o, scores_o[:n], NEG_INF)
+    top_scores, idx_o = jax.lax.top_k(kept_scores, max_out)
+    return order[idx_o].astype(jnp.int32), top_scores
 
 
 def batched_nms(boxes: Array, scores: Array, idxs: Array, iou_thr: float,

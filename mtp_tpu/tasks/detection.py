@@ -164,6 +164,11 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
         [prop_scores > NEG_INF / 2, gt_valid], axis=1)
 
     # ---------------- RCNN assign/sample ----------------
+    # Static sample count: never ask the sampler for more rois than the
+    # (proposals + gt-as-proposals) pool holds — diagnostic overrides may
+    # shrink max_proposals below rcnn_num.
+    R = min(det.rcnn_num, int(props_all.shape[1]))
+
     def rcnn_one(pb, pv, gb, gv, gl, r):
         if det.rotated:
             ious = rbox_overlaps(gb, pb)
@@ -176,7 +181,7 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
         assign = _assign_from_ious(ious, gl, det.rcnn_pos_iou,
                                    det.rcnn_neg_iou, det.rcnn_pos_iou,
                                    det.rcnn_match_low_quality)
-        sample = random_sample(assign, r, det.rcnn_num, det.rcnn_pos_fraction)
+        sample = random_sample(assign, r, R, det.rcnn_pos_fraction)
         rois = pb[sample.inds]
         gt_for = gb[sample.gt_inds]
         if det.rotated:
@@ -189,7 +194,6 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
         props_all, prop_valid, gt_boxes, gt_valid, gt_labels,
         jax.random.split(rngs[B], B))
 
-    R = det.rcnn_num
     flat_rois = rois.reshape(B * R, rois.shape[-1])
     batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
     cls_logits, reg_pred = box_fn(flat_rois, batch_idx)

@@ -294,6 +294,16 @@ def test_blocked_nms_matches_sequential_greedy():
                                   0.5, block=blk))
         np.testing.assert_array_equal(got, keep_ref, err_msg=f"n={n} blk={blk}")
 
+        # the on-the-fly blocked nms() (no materialized IoU matrix) must
+        # select exactly the sequential-greedy winners, in score order
+        idx, s = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                     max_out=n, block=blk)
+        idx, s = np.asarray(idx), np.asarray(s)
+        kept = idx[s > NEG_INF / 2]
+        ref_kept = order[keep_ref[order]]  # score-ordered reference winners
+        np.testing.assert_array_equal(kept, ref_kept,
+                                      err_msg=f"nms() n={n} blk={blk}")
+
 
 def test_carafe_reassembly():
     """CARAFE semantics: uniform kernels = nearest-upsampled k×k box mean;
