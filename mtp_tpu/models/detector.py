@@ -33,7 +33,9 @@ from mtp_tpu.ops.anchors import AnchorGenerator
 from mtp_tpu.ops.assign import max_iou_assign, random_sample
 from mtp_tpu.ops.boxes import bbox_overlaps, delta_decode, delta_encode
 from mtp_tpu.ops.nms import NEG_INF, batched_nms
-from mtp_tpu.ops.roi_align import (map_roi_levels, map_rroi_levels,
+from mtp_tpu.ops.roi_align import (ROI_ATLAS as _ROI_ATLAS, map_roi_levels,
+                                   map_rroi_levels,
+                                   multilevel_roi_align_fused,
                                    roi_align, roi_align_rotated)
 from mtp_tpu.ops.rotated_boxes import (delta_decode_rbox, delta_encode_rbox,
                                        hbox_to_rbox, midpoint_encode,
@@ -139,6 +141,10 @@ class TwoStageDetector(nn.Module):
         """Multilevel RoIAlign with static all-level compute + select.
         rois: (R, 4) hbox or (R, 5) rbox."""
         d = self.det
+        if _ROI_ATLAS:
+            return multilevel_roi_align_fused(
+                feats[:4], rois, batch_idx, out_size, d.fpn_strides,
+                rotated=d.rotated, clockwise=True)
         if d.rotated:
             lvls = map_rroi_levels(rois, 4)
             outs = jnp.stack([

@@ -34,7 +34,9 @@ from mtp_tpu.heads.rpn import RPNHead, RPNOut
 from mtp_tpu.heads.upernet import UperNetHead
 from mtp_tpu.models.detector import DetConfig, oriented_rcnn_cfg
 from mtp_tpu.models.backbones import build_backbone
-from mtp_tpu.ops.roi_align import (map_roi_levels, map_rroi_levels,
+from mtp_tpu.ops.roi_align import (ROI_ATLAS as _ROI_ATLAS, map_roi_levels,
+                                   map_rroi_levels,
+                                   multilevel_roi_align_fused,
                                    roi_align, roi_align_rotated)
 from mtp_tpu.ops.rotated_boxes import rbox_to_hbox
 from mtp_tpu.utils.config import BackboneConfig
@@ -114,6 +116,10 @@ class MultiTaskPretrainModel(nn.Module):
 
     def _roi_feats(self, feats, rois, bidx, out_size, rotated):
         strides = (4, 8, 16, 32)
+        if _ROI_ATLAS:
+            return multilevel_roi_align_fused(
+                feats[:4], rois, bidx, out_size, strides, rotated=rotated,
+                clockwise=True)
         if rotated:
             lvls = map_rroi_levels(rois, 4)
             outs = jnp.stack([

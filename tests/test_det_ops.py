@@ -387,3 +387,65 @@ def test_gen_proposals_per_level_topk():
                              iou_thr=0.99, level_sizes=sizes)
     np.testing.assert_allclose(np.asarray(sg2), np.asarray(sl2))
     np.testing.assert_allclose(np.asarray(bg2), np.asarray(bl2))
+
+
+def test_multilevel_roi_align_fused_matches_select():
+    """The atlas-packed single-gather extractor must reproduce the
+    all-level-compute-and-select path exactly (same sample grid, border
+    padding, level rule) — forward AND gradient wrt the features."""
+    from mtp_tpu.ops.roi_align import (multilevel_roi_align,
+                                       multilevel_roi_align_fused,
+                                       map_rroi_levels, roi_align_rotated)
+
+    rng = np.random.default_rng(3)
+    B, C = 2, 8
+    strides = (4, 8, 16, 32)
+    feats = [jnp.asarray(rng.standard_normal(
+        (B, 64 // (s // 4), 64 // (s // 4), C)).astype(np.float32))
+        for s in strides]
+
+    # horizontal rois spanning all levels (sizes 8..600 px in image coords)
+    R = 24
+    x1 = rng.uniform(0, 200, R)
+    y1 = rng.uniform(0, 200, R)
+    sz = np.exp(rng.uniform(np.log(8), np.log(600), R))
+    rois = jnp.asarray(
+        np.stack([x1, y1, x1 + sz, y1 + sz * rng.uniform(0.5, 2, R)],
+                 -1).astype(np.float32))
+    bidx = jnp.asarray(rng.integers(0, B, R).astype(np.int32))
+
+    ref = multilevel_roi_align(feats, rois, bidx, 7, strides)
+    got = multilevel_roi_align_fused(feats, rois, bidx, 7, strides)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradient wrt features must agree too (training uses the transpose)
+    def loss_ref(fs):
+        return (multilevel_roi_align(fs, rois, bidx, 7, strides) ** 2).sum()
+
+    def loss_fus(fs):
+        return (multilevel_roi_align_fused(fs, rois, bidx, 7,
+                                           strides) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref)(feats)
+    g_fus = jax.grad(loss_fus)(feats)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+    # rotated: compare against the rotated select path
+    rrois = jnp.asarray(np.stack(
+        [rng.uniform(50, 400, R), rng.uniform(50, 400, R),
+         np.exp(rng.uniform(np.log(8), np.log(600), R)),
+         np.exp(rng.uniform(np.log(8), np.log(300), R)),
+         rng.uniform(-1.5, 1.5, R)], -1).astype(np.float32))
+    lvls = map_rroi_levels(rrois, 4)
+    outs = jnp.stack([roi_align_rotated(f, rrois, bidx, 7, 1.0 / s,
+                                        clockwise=True)
+                      for f, s in zip(feats, strides)], axis=0)
+    ref_r = jnp.take_along_axis(outs, lvls[None, :, None, None, None],
+                                axis=0)[0]
+    got_r = multilevel_roi_align_fused(feats, rrois, bidx, 7, strides,
+                                       rotated=True, clockwise=True)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref_r),
+                               rtol=1e-5, atol=1e-5)
