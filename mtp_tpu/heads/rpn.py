@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mtp_tpu.ops.boxes import delta_decode
-from mtp_tpu.ops.nms import NEG_INF, nms
+from mtp_tpu.ops.nms import NEG_INF, nms, nms_batched
 from mtp_tpu.ops.rotated_boxes import midpoint_decode
 
 Array = jax.Array
@@ -89,6 +89,9 @@ def gen_proposals(rpn_out: RPNOut, anchors: Array,
         return jnp.concatenate(tops), jnp.concatenate(idxs)
 
     def one(scores, deltas):
+        """Top-k + decode only — cheap to vmap.  NMS runs natively
+        batched below: vmapping it batches the suppression loop's
+        dynamic slices into gathers (measured 28x slower on-chip)."""
         top_s, idx = topk(scores)
         a = anchors[idx]
         d = deltas[idx]
@@ -98,17 +101,21 @@ def gen_proposals(rpn_out: RPNOut, anchors: Array,
             h, w = img_shape
             boxes = boxes.at[:, 0].set(jnp.clip(boxes[:, 0], 0, w))
             boxes = boxes.at[:, 1].set(jnp.clip(boxes[:, 1], 0, h))
-            from mtp_tpu.ops.rotated_boxes import rbox_to_hbox
-            from mtp_tpu.ops.boxes import bbox_overlaps
-            # oriented RPN uses horizontal NMS on the bounding boxes
-            hb = rbox_to_hbox(boxes)
-            keep_idx, keep_s = nms(hb, top_s, iou_thr, max_per_img)
         else:
             boxes = delta_decode(a, d, max_shape=img_shape)
-            keep_idx, keep_s = nms(boxes, top_s, iou_thr, max_per_img)
-        return boxes[keep_idx], keep_s
+        return boxes, top_s
 
-    return jax.vmap(one)(rpn_out.cls_scores, rpn_out.deltas)
+    boxes, top_s = jax.vmap(one)(rpn_out.cls_scores, rpn_out.deltas)
+    if rotated:
+        from mtp_tpu.ops.rotated_boxes import rbox_to_hbox
+        # oriented RPN uses horizontal NMS on the bounding boxes
+        nms_in = rbox_to_hbox(boxes.reshape(-1, 5)).reshape(
+            boxes.shape[0], -1, 4)
+    else:
+        nms_in = boxes
+    keep_idx, keep_s = nms_batched(nms_in, top_s, iou_thr, max_per_img)
+    return jnp.take_along_axis(
+        boxes, keep_idx[..., None], axis=1), keep_s
 
 
 def rpn_loss(rpn_out: RPNOut, anchors: Array, sample, target_deltas: Array,

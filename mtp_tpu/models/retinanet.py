@@ -167,19 +167,22 @@ def retinanet_predict(model: RetinaNet, variables, images: Array,
     H, W = images.shape[1:3]
     K = det.num_classes
 
-    def one(cls_l, dl):
+    def prep(cls_l, dl):
+        """Score top-k + decode (vmapped); NMS runs natively batched
+        below — vmapping it is 28x slower on TPU (see ops/nms.py)."""
         probs = jax.nn.sigmoid(cls_l)  # (A_total, K)
         flat = probs.reshape(-1)
-        npre = min(det.nms_pre * K, flat.shape[0])
         top_s, top_i = jax.lax.top_k(
             jnp.where(flat > det.score_thr, flat, NEG_INF),
             min(det.max_per_img * 10, flat.shape[0]))
         a_i = top_i // K
         c_i = (top_i % K).astype(jnp.int32)
         boxes = delta_decode(A[a_i], dl[a_i], max_shape=(H, W))
-        keep_i, keep_s = batched_nms(boxes, top_s, c_i, det.nms_iou,
-                                     det.max_per_img)
-        return (boxes[keep_i], keep_s, c_i[keep_i], keep_s > NEG_INF / 2)
+        return boxes, top_s, c_i
 
-    boxes, scores, labels, valid = jax.vmap(one)(cls_logits, deltas)
-    return Detections(boxes, scores, labels, valid)
+    cand_b, cand_s, cand_l = jax.vmap(prep)(cls_logits, deltas)
+    keep_i, scores = batched_nms(cand_b, cand_s, cand_l, det.nms_iou,
+                                 det.max_per_img)
+    boxes = jnp.take_along_axis(cand_b, keep_i[..., None], axis=1)
+    labels = jnp.take_along_axis(cand_l, keep_i, axis=1)
+    return Detections(boxes, scores, labels, scores > NEG_INF / 2)

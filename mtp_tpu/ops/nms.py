@@ -89,46 +89,68 @@ def nms(boxes: Array, scores: Array, iou_thr: float,
     pretrain shape (N≈6.7k per head, 6 heads/step) this removes a 181 MB
     HBM intermediate plus two full (N, N) gathers per head.
     """
+    squeeze = boxes.ndim == 2
+    if squeeze:
+        boxes, scores = boxes[None], scores[None]
+    idx, s = nms_batched(boxes, scores, iou_thr, max_out, iou_fn, block)
+    return (idx[0], s[0]) if squeeze else (idx, s)
+
+
+def nms_batched(boxes: Array, scores: Array, iou_thr: float,
+                max_out: int, iou_fn: Callable[[Array, Array], Array] = None,
+                block: int = 128) -> Tuple[Array, Array]:
+    """Natively batched fixed-shape NMS: boxes (B, N, D), scores (B, N).
+
+    NEVER vmap `nms` — vmap turns the suppression loop's dynamic slices
+    into gathers/scatters (measured on-chip: 8.2 ms at B=1 → 234.6 ms
+    under vmap at B=3 for N=6735).  Here the batch dim simply rides along
+    every loop-carried array while slice indices stay unbatched scalars,
+    so the program is B independent lanes of the B=1 schedule (B=3
+    measured at ~9 ms).
+    """
     iou_fn = iou_fn or (lambda a, b: bbox_overlaps(a, b))
-    n = scores.shape[0]
-    order = jnp.argsort(-scores)  # high→low
-    boxes_o = boxes[order]
-    scores_o = scores[order]
+    B, n, D = boxes.shape
+    order = jnp.argsort(-scores, axis=1)                   # (B, N) high→low
+    boxes_o = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    scores_o = jnp.take_along_axis(scores, order, axis=1)
     valid = scores_o > NEG_INF / 2
 
     T = min(block, n)
     n_pad = (n + T - 1) // T * T
     if n_pad != n:
-        boxes_o = jnp.pad(boxes_o, ((0, n_pad - n), (0, 0)))
-        valid = jnp.pad(valid, (0, n_pad - n))
+        boxes_o = jnp.pad(boxes_o, ((0, 0), (0, n_pad - n), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, n_pad - n)))
     iota_T = jnp.arange(T)
     iota_N = jnp.arange(n_pad)
+    biou = jax.vmap(iou_fn)  # pure math — safe to vmap (no dynamic slices)
 
     def outer(bi, alive):
         s = bi * T
-        blk = jax.lax.dynamic_slice(
-            boxes_o, (s, 0), (T, boxes_o.shape[1]))
-        rows = iou_fn(blk, boxes_o)                               # (T, N)
-        intra = jax.lax.dynamic_slice_in_dim(rows, s, T, axis=1)  # (T, T)
-        a_blk = jax.lax.dynamic_slice(alive, (s,), (T,))
+        blk = jax.lax.dynamic_slice(boxes_o, (0, s, 0), (B, T, D))
+        rows = biou(blk, boxes_o)                              # (B, T, N)
+        intra = jax.lax.dynamic_slice_in_dim(rows, s, T, axis=2)
+        a_blk = jax.lax.dynamic_slice(alive, (0, s), (B, T))
 
         def inner(i, ab):
-            sup = (intra[i] > iou_thr) & (iota_T > i)
-            return jnp.where(ab[i], ab & ~sup, ab)
+            sup = (jax.lax.dynamic_slice_in_dim(intra, i, 1, axis=1)[:, 0]
+                   > iou_thr) & (iota_T > i)[None, :]          # (B, T)
+            on = jax.lax.dynamic_slice_in_dim(ab, i, 1, axis=1)  # (B, 1)
+            return jnp.where(on, ab & ~sup, ab)
 
         a_blk = jax.lax.fori_loop(0, T, inner, a_blk)
-        alive = jax.lax.dynamic_update_slice(alive, a_blk, (s,))
+        alive = jax.lax.dynamic_update_slice(alive, a_blk, (0, s))
         # kept boxes of this tile suppress all later boxes at once
-        sup_later = ((rows > iou_thr) & a_blk[:, None]).any(0)
-        return alive & ~(sup_later & (iota_N >= s + T))
+        sup_later = ((rows > iou_thr) & a_blk[..., None]).any(1)  # (B, N)
+        return alive & ~(sup_later & (iota_N >= s + T)[None, :])
 
     alive = jax.lax.fori_loop(0, n_pad // T, outer,
-                              jnp.ones((n_pad,), bool) & valid)
-    keep_o = alive[:n] & valid[:n]
+                              jnp.ones((B, n_pad), bool) & valid)
+    keep_o = alive[:, :n] & valid[:, :n]
     # scores are descending, so top_k over kept sorted scores keeps order
-    kept_scores = jnp.where(keep_o, scores_o[:n], NEG_INF)
+    kept_scores = jnp.where(keep_o, scores_o[:, :n], NEG_INF)
     top_scores, idx_o = jax.lax.top_k(kept_scores, max_out)
-    return order[idx_o].astype(jnp.int32), top_scores
+    return (jnp.take_along_axis(order, idx_o, axis=1).astype(jnp.int32),
+            top_scores)
 
 
 def batched_nms(boxes: Array, scores: Array, idxs: Array, iou_thr: float,
@@ -138,6 +160,8 @@ def batched_nms(boxes: Array, scores: Array, idxs: Array, iou_thr: float,
     """Category-aware NMS via the coordinate-offset trick (mmcv batched_nms):
     boxes of different `idxs` never overlap after shifting by idx * extent.
 
+    Accepts (N, D)/(N,) or natively batched (B, N, D)/(B, N) inputs — like
+    `nms`, never vmap this (see nms_batched).
     For rotated boxes pass a custom iou_fn and pre-offset centers upstream.
     """
     if class_agnostic:
@@ -154,7 +178,7 @@ def batched_nms(boxes: Array, scores: Array, idxs: Array, iou_thr: float,
         # its center, on both of the two adjacent clusters
         extent = (jnp.max(jnp.abs(boxes[..., :2])) * 2.0
                   + jnp.sqrt(2.0) * jnp.max(jnp.abs(boxes[..., 2:4])) + 1.0)
-    off = idxs.astype(boxes.dtype)[:, None] * extent  # (N, 1)
+    off = idxs.astype(boxes.dtype)[..., None] * extent  # (..., N, 1)
     shifted = boxes.at[..., :ndim].add(
         jnp.broadcast_to(off, boxes[..., :ndim].shape))
     return nms(shifted, scores, iou_thr, max_out, iou_fn)

@@ -206,7 +206,18 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
 
     # ---------------- mask branch ----------------
     if det.with_mask and mask_fn is not None:
-        mask_logits = mask_fn(flat_rois, batch_idx)
+        # Mask loss counts ONLY positive slots, and random_sample packs
+        # positives first with at most int(R * pos_fraction) of them —
+        # so running the mask trunk on just that static prefix is exact
+        # and cuts the (biggest-ticket) 14x14 RoI extract + 4xconv trunk
+        # by 1/pos_fraction (reference mmdet equally runs its mask head
+        # on the positive subset).
+        P_m = max(1, int(R * det.rcnn_pos_fraction))
+        m_sample = jax.tree.map(
+            lambda x: x[:, :P_m].reshape(B * P_m, *x.shape[2:]), samples)
+        m_rois = rois[:, :P_m].reshape(B * P_m, rois.shape[-1])
+        m_bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P_m)
+        mask_logits = mask_fn(m_rois, m_bidx)
         m = det.mask_size
         if not det.rotated and "gt_mask_crops" in batch:
             # targets from per-gt box-aligned full-res crops (reference
@@ -215,23 +226,23 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
             # so sampling the crop is exact up to grid resolution)
             crops = batch["gt_mask_crops"]  # (B, G, C, C)
             G = crops.shape[1]
-            flat_gt = flat_sample.gt_inds + batch_idx * G
+            flat_gt = m_sample.gt_inds + m_bidx * G
             tgt = mask_targets_from_crops(
-                crops, batch["gt_boxes"], flat_rois, flat_gt, m)
-            losses.update(mask_head_loss(mask_logits, tgt, flat_sample))
+                crops, batch["gt_boxes"], m_rois, flat_gt, m)
+            losses.update(mask_head_loss(mask_logits, tgt, m_sample))
         else:
             # legacy: RoIAlign the assigned instance's stride-4 binary mask
             gm = batch["gt_masks"]  # (B, G, H/4, W/4)
             G = gm.shape[1]
-            flat_gt = flat_sample.gt_inds + batch_idx * G
+            flat_gt = m_sample.gt_inds + m_bidx * G
             mask_imgs = gm.reshape(B * G, gm.shape[2], gm.shape[3], 1)
             if det.rotated:
-                tgt_masks = roi_align_rotated(mask_imgs, flat_rois, flat_gt,
+                tgt_masks = roi_align_rotated(mask_imgs, m_rois, flat_gt,
                                               m, 0.25, clockwise=True)
             else:
-                tgt_masks = roi_align(mask_imgs, flat_rois, flat_gt, m, 0.25)
+                tgt_masks = roi_align(mask_imgs, m_rois, flat_gt, m, 0.25)
             losses.update(mask_head_loss(mask_logits, tgt_masks[..., 0],
-                                         flat_sample))
+                                         m_sample))
 
     total = sum(v for k, v in losses.items() if k.startswith("loss"))
     metrics = {k: v for k, v in losses.items()}
@@ -309,8 +320,13 @@ def det_predict_core(det: DetConfig, anchors: np.ndarray,
 
     decode = delta_decode_rbox if det.rotated else delta_decode
 
-    def one(pb, pv, pr, sc):
-        # decode per-class boxes
+    # cap candidates before the O(N²) NMS (mmdet filters by score first)
+    ncand = min(det.max_per_img * 10, P * C)
+
+    def prep(pb, pv, pr, sc):
+        """Decode + score-filter + candidate top-k (cheap to vmap).  The
+        NMS itself runs natively batched below — vmapping it batches the
+        suppression loop's slices into gathers (28x slower on-chip)."""
         rois_c = jnp.broadcast_to(pb[:, None, :], (P, C, D))
         if det.rotated:
             boxes = delta_decode_rbox(rois_c, pr, stds=det.bbox_stds)
@@ -322,22 +338,17 @@ def det_predict_core(det: DetConfig, anchors: np.ndarray,
             (sc > det.score_thr) & pv[:, None], sc, NEG_INF).reshape(P * C)
         flat_labels = jnp.broadcast_to(
             jnp.arange(C, dtype=jnp.int32)[None, :], (P, C)).reshape(P * C)
-        # cap candidates before the O(N²) NMS (mmdet filters by score first)
-        ncand = min(det.max_per_img * 10, P * C)
         top_s, top_i = jax.lax.top_k(flat_scores, ncand)
-        if det.rotated:
-            iou_fn = lambda a, b: rbox_overlaps(a, b)
-        else:
-            iou_fn = None
-        keep_i, keep_s = batched_nms(flat_boxes[top_i], top_s,
-                                     flat_labels[top_i], det.test_nms_iou,
-                                     det.max_per_img, iou_fn=iou_fn)
-        sel = top_i[keep_i]
-        return (flat_boxes[sel], keep_s, flat_labels[sel],
-                keep_s > NEG_INF / 2)
+        return flat_boxes[top_i], top_s, flat_labels[top_i]
 
-    boxes, scores, labels, valid = jax.vmap(one)(
+    cand_b, cand_s, cand_l = jax.vmap(prep)(
         props, prop_scores > NEG_INF / 2, reg, probs)
+    iou_fn = (lambda a, b: rbox_overlaps(a, b)) if det.rotated else None
+    keep_i, scores = batched_nms(cand_b, cand_s, cand_l, det.test_nms_iou,
+                                 det.max_per_img, iou_fn=iou_fn)
+    boxes = jnp.take_along_axis(cand_b, keep_i[..., None], axis=1)
+    labels = jnp.take_along_axis(cand_l, keep_i, axis=1)
+    valid = scores > NEG_INF / 2
 
     mask_logits = None
     if det.with_mask and mask_fn is not None:

@@ -449,3 +449,23 @@ def test_multilevel_roi_align_fused_matches_select():
                                        rotated=True, clockwise=True)
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref_r),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sampler_positive_prefix_bound():
+    """The mask branch runs on the first int(num*pos_fraction) sampled
+    slots only (tasks/detection.py) — valid iff random_sample (a) caps
+    positives at expected_pos and (b) packs them all into that prefix."""
+    from mtp_tpu.ops.assign import AssignResult
+    rng = np.random.default_rng(7)
+    A, num, pf = 400, 64, 0.25
+    cap = int(num * pf)
+    for trial in range(5):
+        gt_inds = rng.choice([0, 1, 2, 3], A,
+                             p=[0.5, 0.2, 0.2, 0.1]).astype(np.int32)
+        res = AssignResult(jnp.asarray(gt_inds), jnp.ones(A) * 0.5,
+                           jnp.where(jnp.asarray(gt_inds) > 0, 1, -1))
+        s = random_sample(res, jax.random.PRNGKey(trial), num=num,
+                          pos_fraction=pf)
+        is_pos = np.asarray(s.is_pos)
+        assert is_pos.sum() <= cap
+        assert not is_pos[cap:].any(), "positive escaped the mask prefix"
