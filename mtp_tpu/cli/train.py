@@ -228,6 +228,9 @@ def main(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="activation checkpointing per block (reference "
                         "use_ckpt/with_cp)")
+    p.add_argument("--pallas", action="store_true",
+                   help="Pallas kernels on the hot paths (fused window/full "
+                        "attention for ViT, one-hot DCNv3 for InternImage)")
     args = p.parse_args(argv)
 
     from mtp_tpu import configs
@@ -247,10 +250,11 @@ def main(argv=None):
     if args.batch_size:
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size))
-    if args.scan or args.remat:
+    if args.scan or args.remat or args.pallas:
         cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
             cfg.backbone, scan=args.scan or cfg.backbone.scan,
-            remat=args.remat or cfg.backbone.remat))
+            remat=args.remat or cfg.backbone.remat,
+            pallas_attn=args.pallas or cfg.backbone.pallas_attn))
     if args.img_size:
         cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
             cfg.backbone, img_size=args.img_size))

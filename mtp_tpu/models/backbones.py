@@ -25,9 +25,12 @@ from mtp_tpu.utils.config import BackboneConfig
 def build_backbone(cfg: BackboneConfig, name: str = "backbone") -> nn.Module:
     if cfg.name.startswith("internimage"):
         icfg = internimage_xl() if cfg.name.endswith("xl") else internimage_t()
+        # BackboneConfig.pallas_attn doubles as the generic "use Pallas
+        # kernels" switch: for InternImage it selects the one-hot DCNv3 core
         icfg = dataclasses.replace(icfg, dtype=cfg.dtype,
                                    drop_path_rate=cfg.drop_path_rate,
-                                   remat=cfg.remat, scan=cfg.scan)
+                                   remat=cfg.remat, scan=cfg.scan,
+                                   pallas_dcn=cfg.pallas_attn)
         return InternImage(icfg, name=name)
     return ViTRVSA(cfg, name=name)
 

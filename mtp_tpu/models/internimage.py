@@ -46,6 +46,8 @@ class InternImageConfig:
     # of depth copies (XL stage 3 has 24) — params under stage{s}_layers/l
     # with a stacked leading axis
     scan: bool = False
+    # Pallas one-hot matmul DCNv3 sampling (ops/dcnv3_pallas.py)
+    pallas_dcn: bool = False
 
 
 def internimage_xl() -> InternImageConfig:
@@ -80,6 +82,7 @@ class InternImageLayer(nn.Module):
     offset_scale: float
     post_norm: bool
     dtype: jnp.dtype = jnp.float32
+    pallas_dcn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
@@ -88,8 +91,8 @@ class InternImageLayer(nn.Module):
         per-layer rates as traced scan inputs, like the ViT BlockGroup)."""
         ln = lambda n: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=n)
         dcn = DCNv3(self.channels, group=self.groups,
-                    offset_scale=self.offset_scale, dtype=self.dtype,
-                    name="dcn")
+                    offset_scale=self.offset_scale, pallas=self.pallas_dcn,
+                    dtype=self.dtype, name="dcn")
         mlp = MLP(int(self.channels * self.mlp_ratio), self.channels,
                   dtype=self.dtype, name="mlp")
         g1 = g2 = None
@@ -144,6 +147,7 @@ class _StageLayer(nn.Module):
     dtype: jnp.dtype
     deterministic: bool = True
     use_dp: bool = False
+    pallas_dcn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, dpr: Array):
@@ -151,7 +155,7 @@ class _StageLayer(nn.Module):
             self.channels, self.groups, self.mlp_ratio,
             1.0 if self.use_dp else 0.0,  # placeholder; real rate is dpr
             self.layer_scale, self.offset_scale, self.post_norm,
-            dtype=self.dtype, name="l")(
+            dtype=self.dtype, pallas_dcn=self.pallas_dcn, name="l")(
             x, self.deterministic, dp_rate=dpr if self.use_dp else None)
         return x, ()
 
@@ -191,7 +195,7 @@ class InternImage(nn.Module):
                              cfg.layer_scale, cfg.offset_scale, cfg.post_norm,
                              dtype, deterministic,
                              not deterministic and cfg.drop_path_rate > 0,
-                             name=f"stage{s}_layers")
+                             cfg.pallas_dcn, name=f"stage{s}_layers")
                 x, _ = stage(x, jnp.asarray(dpr[li:li + depth], jnp.float32))
                 li += depth
             else:
@@ -199,7 +203,8 @@ class InternImage(nn.Module):
                     layer = InternImageLayer(
                         ch, cfg.groups[s], cfg.mlp_ratio, float(dpr[li]),
                         cfg.layer_scale, cfg.offset_scale, cfg.post_norm,
-                        dtype=dtype, name=f"stage{s}_layer{i}")
+                        dtype=dtype, pallas_dcn=cfg.pallas_dcn,
+                        name=f"stage{s}_layer{i}")
                     if cfg.remat:
                         x = nn.remat(InternImageLayer.__call__,
                                      static_argnums=(2,))(layer, x, deterministic)

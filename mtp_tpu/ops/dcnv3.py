@@ -90,6 +90,9 @@ class DCNv3(nn.Module):
     dilation: int = 1
     group: int = 4
     offset_scale: float = 1.0
+    # Pallas one-hot matmul sampling core (ops/dcnv3_pallas.py) instead of
+    # the XLA gather path — no gathers, no backward scatter
+    pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,9 +119,13 @@ class DCNv3(nn.Module):
         mask = jax.nn.softmax(mask.reshape(N, H, W, self.group, P), axis=-1)
         mask = mask.reshape(N, H, W, self.group * P)
 
-        out = dcnv3_core(proj, offset, mask, kernel=self.kernel,
-                         stride=self.stride, pad=self.pad,
-                         dilation=self.dilation, group=self.group,
-                         offset_scale=self.offset_scale)
+        if self.pallas:
+            from mtp_tpu.ops.dcnv3_pallas import dcnv3_core_onehot as core
+        else:
+            core = dcnv3_core
+        out = core(proj, offset, mask, kernel=self.kernel,
+                   stride=self.stride, pad=self.pad,
+                   dilation=self.dilation, group=self.group,
+                   offset_scale=self.offset_scale)
         return nn.Dense(self.channels, dtype=self.dtype, kernel_init=xav,
                         name="output_proj")(out)

@@ -1,0 +1,268 @@
+"""Pallas TPU kernel: DCNv3 sampling as a masked one-hot matmul.
+
+The DCNv3 core (spec: reference `dcnv3_core_pytorch`,
+ops_dcnv3/functions/dcnv3_func.py:174-240) is, per (image, group),
+
+    out[p, c] = sum_k m[p, k] * bilinear(img, loc[p, k])[c]
+
+The jnp path (`ops/dcnv3.py`) lowers this to XLA gathers, which issue
+gc=16-channel (32-byte) HBM rows — ~90% of every HBM transaction is wasted,
+and the backward adds a 10M-update 16-lane scatter (measured: stage-0 of
+InternImage-XL spends 132 ms/layer forward, PERF.md round 3).
+
+TPUs have no vector gather; the native formulation is a CONTRACTION.  Each
+bilinear sample is a rank-1 hat-product row over the flattened feature map:
+
+    out[p, c] = sum_q A[p, q] * img[q, c]
+    A[p, q]   = sum_k m[p,k] * hat(py[p,k] - qy(q)) * hat(px[p,k] - qx(q))
+
+with hat(d) = max(0, 1 - |d|), q = qy*W + qx.  A row has <= 4*K*K nonzeros
+but is built DENSE in VMEM per (Tp pixels) tile — hats are two broadcast
+compares on the VPU — then contracted with the VMEM-resident group image on
+the MXU.  A never exists in HBM; there are no gathers and no scatters:
+
+    forward : out  = A @ img                      (MXU)
+    backward: dimg = A^T @ g        (accumulated over pixel tiles, MXU)
+              dA   = g @ img^T                    (MXU)
+              dm   = sum_q dA * hy * hx           (VPU row-reduce)
+              dpy  = m * sum_q dA * hx * hat'(dy) (hat'(d) = -sign(d)*1{|d|<1})
+              dpx  = m * sum_q dA * hy * hat'(dx)
+
+Zero-padding semantics come for free: hats vanish outside [0, H-1]x[0, W-1],
+exactly grid_sample(padding_mode="zeros") on the conceptually padded map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mtp_tpu.ops.pallas_attn import _force_interpret, _round_up  # noqa: F401
+
+Array = jax.Array
+
+_TP = 128  # output pixels per grid cell (one full MXU row tile)
+
+
+def _hats(pyk, pxk, qy, qx):
+    hy = jnp.maximum(1.0 - jnp.abs(pyk - qy), 0.0)   # (Tp, HWq)
+    hx = jnp.maximum(1.0 - jnp.abs(pxk - qx), 0.0)
+    return hy, hx
+
+
+def _grid_coords(HWq: int, HW: int, W: int):
+    """qy/qx of each flattened column; padded columns pushed far away so
+    every hat evaluates to zero there."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, HWq), 1)
+    qy = jnp.where(q < HW, (q // W), -(2 ** 20)).astype(jnp.float32)
+    qx = jnp.where(q < HW, (q % W), -(2 ** 20)).astype(jnp.float32)
+    return qy, qx
+
+
+def _build_a(py, px, m, qy, qx, P: int):
+    a = None
+    for k in range(P):
+        hy, hx = _hats(py[:, k:k + 1], px[:, k:k + 1], qy, qx)
+        t = (m[:, k:k + 1] * hy) * hx
+        a = t if a is None else a + t
+    return a  # (Tp, HWq) f32
+
+
+# f32 operands at DEFAULT precision take the single-pass bf16 MXU path —
+# HIGHEST keeps the f32 (test/parity) path f32-exact.  bf16 operands multiply
+# exactly on the MXU already; there HIGHEST is at best a no-op (and suspected
+# of tripping the Mosaic compiler), so only request it for f32.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _prec(dtype):
+    return _EXACT if dtype == jnp.float32 else None
+
+
+def _fwd_kernel(py_ref, px_ref, m_ref, img_ref, o_ref, *, P, W, HW):
+    img = img_ref[0]                               # (HWq, gc)
+    qy, qx = _grid_coords(img.shape[0], HW, W)
+    a = _build_a(py_ref[0], px_ref[0], m_ref[0], qy, qx, P)
+    o_ref[0] = jax.lax.dot_general(
+        a.astype(img.dtype), img, (((1,), (0,)), ((), ())),
+        precision=_prec(img.dtype),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_img_kernel(py_ref, px_ref, m_ref, g_ref, dimg_ref, *, P, W, HW):
+    HWq = dimg_ref.shape[1]
+    qy, qx = _grid_coords(HWq, HW, W)
+    a = _build_a(py_ref[0], px_ref[0], m_ref[0], qy, qx, P)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
+
+    g = g_ref[0].astype(jnp.float32)               # (Tp, gc)
+    dimg_ref[0] += jax.lax.dot_general(            # A^T @ g → (HWq, gc)
+        a, g, (((0,), (0,)), ((), ())), precision=_EXACT,
+        preferred_element_type=jnp.float32)
+
+
+def _bwd_coord_kernel(py_ref, px_ref, m_ref, img_ref, g_ref,
+                      dpy_ref, dpx_ref, dm_ref, *, P, W, HW):
+    img = img_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    qy, qx = _grid_coords(img.shape[0], HW, W)
+    da = jax.lax.dot_general(                      # g @ img^T → (Tp, HWq)
+        g, img, (((1,), (1,)), ((), ())), precision=_EXACT,
+        preferred_element_type=jnp.float32)
+
+    py, px, m = py_ref[0], px_ref[0], m_ref[0]
+    dms, dpys, dpxs = [], [], []
+    for k in range(P):
+        pyk, pxk, mk = py[:, k:k + 1], px[:, k:k + 1], m[:, k:k + 1]
+        dy = pyk - qy
+        dx = pxk - qx
+        hy = jnp.maximum(1.0 - jnp.abs(dy), 0.0)
+        hx = jnp.maximum(1.0 - jnp.abs(dx), 0.0)
+        dhy = jnp.where(jnp.abs(dy) < 1.0, -jnp.sign(dy), 0.0)
+        dhx = jnp.where(jnp.abs(dx) < 1.0, -jnp.sign(dx), 0.0)
+        dahx = da * hx
+        dahy = da * hy
+        dms.append(jnp.sum(dahx * hy, axis=1, keepdims=True))
+        dpys.append(mk * jnp.sum(dahx * dhy, axis=1, keepdims=True))
+        dpxs.append(mk * jnp.sum(dahy * dhx, axis=1, keepdims=True))
+    dm_ref[0] = jnp.concatenate(dms, axis=1)
+    dpy_ref[0] = jnp.concatenate(dpys, axis=1)
+    dpx_ref[0] = jnp.concatenate(dpxs, axis=1)
+
+
+def _pad_inputs(img, py, px, m):
+    BG, HW, gc = img.shape
+    _, HWo, P = py.shape
+    HWq = _round_up(HW, 128)
+    Tp = min(_TP, _round_up(HWo, 8))
+    HWo_p = _round_up(HWo, Tp)
+    pad2 = lambda t, n: jnp.pad(t, ((0, 0), (0, n - t.shape[1]), (0, 0)))
+    return (pad2(img, HWq), pad2(py.astype(jnp.float32), HWo_p),
+            pad2(px.astype(jnp.float32), HWo_p),
+            pad2(m.astype(jnp.float32), HWo_p), Tp, HWo_p // Tp)
+
+
+def _specs(Tp, P, HWq, gc):
+    tile = pl.BlockSpec((1, Tp, P), lambda bg, pt: (bg, pt, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((1, HWq, gc), lambda bg, pt: (bg, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, Tp, gc), lambda bg, pt: (bg, pt, 0),
+                       memory_space=pltpu.VMEM)
+    return tile, full, out
+
+
+def _forward(img, py, px, m, H, W, interpret):
+    BG, HW, gc = img.shape
+    _, HWo, P = py.shape
+    imgp, pyp, pxp, mp, Tp, PT = _pad_inputs(img, py, px, m)
+    tile, full, out = _specs(Tp, P, imgp.shape[1], gc)
+    o = pl.pallas_call(
+        functools.partial(_fwd_kernel, P=P, W=W, HW=HW),
+        out_shape=jax.ShapeDtypeStruct((BG, PT * Tp, gc), img.dtype),
+        grid=(BG, PT),
+        in_specs=[tile, tile, tile, full],
+        out_specs=out,
+        interpret=interpret or _force_interpret(),
+    )(pyp, pxp, mp, imgp)
+    return o[:, :HWo]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def dcnv3_sample(img: Array, py: Array, px: Array, m: Array,
+                 H: int, W: int, interpret: bool = False) -> Array:
+    """img (BG, H*W, gc); py/px/m (BG, HWo, P) with py/px absolute pixel
+    coordinates on the UNPADDED map → (BG, HWo, gc)."""
+    return _forward(img, py, px, m, H, W, interpret)
+
+
+def _sample_fwd(img, py, px, m, H, W, interpret):
+    return _forward(img, py, px, m, H, W, interpret), (img, py, px, m)
+
+
+def _sample_bwd(H, W, interpret, res, g):
+    img, py, px, m = res
+    BG, HW, gc = img.shape
+    _, HWo, P = py.shape
+    interpret = interpret or _force_interpret()
+    imgp, pyp, pxp, mp, Tp, PT = _pad_inputs(img, py, px, m)
+    HWq = imgp.shape[1]
+    gp = jnp.pad(g, ((0, 0), (0, PT * Tp - HWo), (0, 0)))
+    tile, full, outs = _specs(Tp, P, HWq, gc)
+
+    dimg = pl.pallas_call(
+        functools.partial(_bwd_img_kernel, P=P, W=W, HW=HW),
+        out_shape=jax.ShapeDtypeStruct((BG, HWq, gc), jnp.float32),
+        grid=(BG, PT),
+        in_specs=[tile, tile, tile, outs],
+        out_specs=full,
+        interpret=interpret,
+    )(pyp, pxp, mp, gp)[:, :HW].astype(img.dtype)
+
+    dpy, dpx, dm = pl.pallas_call(
+        functools.partial(_bwd_coord_kernel, P=P, W=W, HW=HW),
+        out_shape=[jax.ShapeDtypeStruct((BG, PT * Tp, P), jnp.float32)] * 3,
+        grid=(BG, PT),
+        in_specs=[tile, tile, tile, full, outs],
+        out_specs=[tile] * 3,
+        interpret=interpret,
+    )(pyp, pxp, mp, imgp, gp)
+    trim = lambda t, ref: t[:, :HWo].astype(ref.dtype)
+    return dimg, trim(dpy, py), trim(dpx, px), trim(dm, m)
+
+
+dcnv3_sample.defvjp(_sample_fwd, _sample_bwd)
+
+
+def dcnv3_core_onehot(x: Array, offset: Array, mask: Array, *,
+                      kernel: int = 3, stride: int = 1, pad: int = 1,
+                      dilation: int = 1, group: int = 4,
+                      offset_scale: float = 1.0,
+                      interpret: bool = False) -> Array:
+    """Drop-in for `dcnv3_core` (same spec, ops_dcnv3/functions/
+    dcnv3_func.py:174) on the Pallas one-hot path.  Coordinates are computed
+    directly in unpadded pixel units — algebraically identical to the
+    reference's normalize-then-denormalize round trip:
+
+        px = (dil*(K-1))//2 - pad + wo*stride + (tap_x + off_x)*offset_scale
+    """
+    N, H, W, C = x.shape
+    gc = C // group
+    K = kernel
+    P = K * K
+    Ho = (H + 2 * pad - (dilation * (K - 1) + 1)) // stride + 1
+    Wo = (W + 2 * pad - (dilation * (K - 1) + 1)) // stride + 1
+
+    base = (dilation * (K - 1)) // 2 - pad  # ref base (+0.5) minus the 0.5
+    ref_y = base + np.arange(Ho, dtype=np.float32) * stride
+    ref_x = base + np.arange(Wo, dtype=np.float32) * stride
+    start = -((dilation * (K - 1)) // 2)
+    taps = start + np.arange(K, dtype=np.float32) * dilation
+    tx, ty = np.meshgrid(taps, taps, indexing="ij")  # tap p = ix*K + iy
+    tap_x = tx.reshape(-1) * offset_scale            # (P,)
+    tap_y = ty.reshape(-1) * offset_scale
+
+    off = offset.astype(jnp.float32).reshape(N, Ho, Wo, group, P, 2)
+    px = (ref_x[None, None, :, None, None] + tap_x[None, None, None, None, :]
+          + off[..., 0] * offset_scale)
+    py = (ref_y[None, :, None, None, None] + tap_y[None, None, None, None, :]
+          + off[..., 1] * offset_scale)
+
+    def grp(t):  # (N, Ho, Wo, G, P) → (N*G, Ho*Wo, P)
+        return t.transpose(0, 3, 1, 2, 4).reshape(N * group, Ho * Wo, P)
+
+    m = grp(mask.astype(jnp.float32).reshape(N, Ho, Wo, group, P))
+    xg = x.reshape(N, H * W, group, gc).transpose(0, 2, 1, 3)
+    xg = xg.reshape(N * group, H * W, gc)
+
+    out = dcnv3_sample(xg, grp(py), grp(px), m, H, W, interpret)
+    out = out.reshape(N, group, Ho, Wo, gc).transpose(0, 2, 3, 1, 4)
+    return out.reshape(N, Ho, Wo, group * gc)

@@ -1,0 +1,70 @@
+"""Parity of the Pallas one-hot DCNv3 path (`ops/dcnv3_pallas.py`) against
+the jnp gather path (`dcnv3_core`, itself oracle-verified vs the reference
+`dcnv3_core_pytorch` in test_dcnv3.py).  Runs the kernel in interpret mode
+(CPU lane)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mtp_tpu.ops.dcnv3 import dcnv3_core
+from mtp_tpu.ops.dcnv3_pallas import dcnv3_core_onehot
+
+
+def _inputs(seed, N, H, W, G, gc, K, off_std=2.0):
+    rng = np.random.default_rng(seed)
+    C = G * gc
+    x = rng.standard_normal((N, H, W, C)).astype(np.float32)
+    off = (rng.standard_normal((N, H, W, G * K * K * 2)) * off_std
+           ).astype(np.float32)
+    m = rng.uniform(0, 1, (N, H, W, G * K * K)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(off), jnp.asarray(m)
+
+
+@pytest.mark.parametrize("shape", [(2, 9, 11, 3, 4), (1, 8, 8, 2, 16)])
+def test_forward_matches_core(shape):
+    N, H, W, G, gc = shape
+    x, off, m = _inputs(0, N, H, W, G, gc, 3)
+    ref = dcnv3_core(x, off, m, kernel=3, group=G, offset_scale=1.5)
+    out = dcnv3_core_onehot(x, off, m, kernel=3, group=G, offset_scale=1.5,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_forward_far_offsets_zero_padding():
+    """Samples far outside the map must contribute exactly zero."""
+    x, off, m = _inputs(1, 1, 8, 8, 2, 4, 3, off_std=20.0)
+    ref = dcnv3_core(x, off, m, kernel=3, group=2)
+    out = dcnv3_core_onehot(x, off, m, kernel=3, group=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_grads_match_core():
+    x, off, m = _inputs(2, 1, 8, 10, 2, 4, 3)
+
+    def loss(fn):
+        return lambda x, o, m: jnp.sum(jnp.sin(fn(x, o, m)))
+
+    f_ref = lambda x, o, m: dcnv3_core(x, o, m, kernel=3, group=2,
+                                       offset_scale=1.5)
+    f_our = lambda x, o, m: dcnv3_core_onehot(
+        x, o, m, kernel=3, group=2, offset_scale=1.5, interpret=True)
+    gr = jax.grad(loss(f_ref), argnums=(0, 1, 2))(x, off, m)
+    go = jax.grad(loss(f_our), argnums=(0, 1, 2))(x, off, m)
+    for name, a, b in zip(["dx", "doffset", "dmask"], gr, go):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
+def test_stride_two():
+    x, off, m = _inputs(3, 1, 10, 10, 2, 4, 3)
+    off = off[:, ::2, ::2]
+    m = m[:, ::2, ::2]
+    ref = dcnv3_core(x, off, m, kernel=3, stride=2, group=2)
+    out = dcnv3_core_onehot(x, off, m, kernel=3, stride=2, group=2,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)

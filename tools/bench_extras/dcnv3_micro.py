@@ -18,6 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mtp_tpu.ops.dcnv3 import dcnv3_core
+from mtp_tpu.ops.dcnv3_pallas import dcnv3_core_onehot
+
+if os.environ.get("DM_ONEHOT", "0") == "1":
+    dcnv3_core = dcnv3_core_onehot  # noqa: F811 — A/B via env
 
 BS = int(os.environ.get("DM_BS", "8"))
 ITERS = int(os.environ.get("DM_ITERS", "5"))
@@ -64,7 +68,9 @@ def main():
 
         @jax.jit
         def bwd(x, o, m):
-            return jax.grad(lambda xx, oo: jnp.sum(
+            # value_and_grad: plain grad discards the primal and XLA DCEs
+            # the forward kernel — "fwd+bwd" would time the backward alone
+            return jax.value_and_grad(lambda xx, oo: jnp.sum(
                 dcnv3_core(xx, oo, m, group=G).astype(jnp.float32)),
                 argnums=(0, 1))(x, o)
 

@@ -13,10 +13,12 @@ BS = int(os.environ.get("II_BS", "8"))
 SIZE = int(os.environ.get("II_SIZE", "224"))
 REMAT = os.environ.get("II_REMAT", "1") == "1"
 SCAN = os.environ.get("II_SCAN", "1") == "1"
+PALLAS = os.environ.get("II_PALLAS", "0") == "1"  # one-hot DCNv3 kernel
 ITERS = int(os.environ.get("II_ITERS", "6"))
 
 bb = internimage_backbone_config("internimage_xl", SIZE, dtype="bfloat16",
-                                 remat=REMAT, scan=SCAN, drop_path_rate=0.2)
+                                 remat=REMAT, scan=SCAN, drop_path_rate=0.2,
+                                 pallas_attn=PALLAS)
 cfg = TaskConfig(task="classification", num_classes=10, backbone=bb,
                  train=TrainConfig(optimizer=OptimizerConfig(lr=2e-5, layer_decay=0.94),
                                    schedule=ScheduleConfig(kind="cosine", total_steps=1000),
