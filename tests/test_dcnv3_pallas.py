@@ -59,6 +59,33 @@ def test_grads_match_core():
                                    rtol=1e-3, err_msg=name)
 
 
+@pytest.mark.parametrize("off_std", [0.8, 30.0])
+def test_chunked_path_matches_core(off_std):
+    """48² map spans multiple 512-column chunks: small offsets activate only
+    the chunks the tile touches, huge offsets activate (and must correctly
+    sum) many — both must agree with the jnp path."""
+    N, H, W, G, gc = 1, 48, 48, 1, 4
+    x, off, m = _inputs(4, N, H, W, G, gc, 3, off_std=off_std)
+    from mtp_tpu.ops import dcnv3_pallas
+    assert dcnv3_pallas._chunk_cols(H * W) == 512
+    ref = dcnv3_core(x, off, m, kernel=3, group=G, offset_scale=1.0)
+    out = dcnv3_core_onehot(x, off, m, kernel=3, group=G, offset_scale=1.0,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+    def loss(fn):
+        return lambda x, o, m: jnp.sum(jnp.sin(fn(x, o, m)))
+
+    gr = jax.grad(loss(lambda x, o, m: dcnv3_core(x, o, m, group=G)),
+                  argnums=(0, 1, 2))(x, off, m)
+    go = jax.grad(loss(lambda x, o, m: dcnv3_core_onehot(
+        x, o, m, group=G, interpret=True)), argnums=(0, 1, 2))(x, off, m)
+    for name, a, b in zip(["dx", "doffset", "dmask"], gr, go):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
 def test_stride_two():
     x, off, m = _inputs(3, 1, 10, 10, 2, 4, 3)
     off = off[:, ::2, ::2]
