@@ -228,3 +228,27 @@ class InternImage(nn.Module):
     @property
     def out_channels(self):
         return tuple(self.cfg.channels * (2 ** s) for s in self.cfg.out_indices)
+
+
+def internimage_flops(cfg: InternImageConfig, img_size: int) -> float:
+    """Analytic forward-FLOPs estimate for InternImage (the analog of
+    vit_rvsa.backbone_flops): stem convs, per-layer DCNv3
+    (input/output projections, depthwise offset trunk, offset/mask
+    regressors, bilinear sampling) + MLP, and downsample convs.
+    Multiply-add counted as 2 FLOPs.  XL at 224² lands near the paper's
+    ~163 GFLOP figure."""
+    fl = 2.0 * (img_size // 2) ** 2 * (cfg.channels // 2) * 3 * 9
+    fl += 2.0 * (img_size // 4) ** 2 * cfg.channels * (cfg.channels // 2) * 9
+    for s, depth in enumerate(cfg.depths):
+        ch = cfg.channels * 2 ** s
+        n = (img_size // (4 * 2 ** s)) ** 2
+        g = cfg.groups[s]
+        per = (2 * n * ch * ch * 2                    # input + output proj
+               + 2 * n * ch * 9                      # 3x3 depthwise conv
+               + 2 * n * ch * g * 27                 # offset(18)+mask(9)
+               + n * g * (ch // g) * 9 * 8           # 4-tap bilinear x K²
+               + 2 * n * ch * int(ch * cfg.mlp_ratio) * 2)
+        fl += float(per) * depth
+        if s < len(cfg.depths) - 1:
+            fl += 2.0 * (n // 4) * (ch * 2) * ch * 9
+    return fl

@@ -86,13 +86,27 @@ def _prec(dtype):
 # columns — would spill), and Mosaic sees no dynamic slicing.  Measured at
 # XL stage 0 (56², bs8): fwd 28.6 → 15.2 ms, fwd+bwd 128 → 42 ms at
 # realistic offset spread (std 0.5), 30/108 ms worst-case (std 30).
-_MAX_CHUNKS = 16
 _MIN_CH = 512
+# Mosaic does NOT reuse stack slots across unrolled pl.when bodies — each
+# chunk's ~0.8 MB of (Tp, CH) temporaries gets its own allocation (measured:
+# 7 chunks fine, 16-25 chunks = 17-20 MB scoped-VMEM OOM at the 448² pretrain
+# shapes).  Small maps therefore unroll (static coords/slices, fastest);
+# large maps run ONE shared fori_loop body over row-aligned chunks, where the
+# only dynamic pieces are the chunk's row offset (a scalar add to static
+# local coordinates — no vector division) and an 8-aligned sublane slice.
+_UNROLL_MAX = 7
 
 
 def _chunk_cols(HW: int) -> int:
-    ch = max(_MIN_CH, _round_up(-(-HW // _MAX_CHUNKS), 128))
-    return ch
+    return min(_MIN_CH, _round_up(HW, 128))
+
+
+def _chunk_rows(W: int):
+    """Row-aligned chunk width for the fori path: rpc rows such that rpc*W
+    is sublane(8)-aligned and >= ~512 columns."""
+    step = 8 // np.gcd(W, 8)
+    rpc = -(-max(1, _MIN_CH // W) // step) * step
+    return rpc * W, rpc
 
 
 def _chunk_coords(lo: int, CH: int, HW: int, W: int):
@@ -112,26 +126,86 @@ def _tile_col_range(py, W: int):
     return rlo * W, (rhi + 1) * W
 
 
+def _fori_coords(c, CH: int, rpc: int, HW: int, W: int):
+    """Chunk coords for the fori path: static local grid + a scalar row
+    offset — no dynamic vector division."""
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+    valid = qi + c * CH < HW
+    far = jnp.float32(-(2 ** 20))
+    qy = jnp.where(valid, (qi // W).astype(jnp.float32)
+                   + (c * rpc).astype(jnp.float32), far)
+    qx = jnp.where(valid, (qi % W).astype(jnp.float32), far)
+    return qy, qx
+
+
+def _chunk_span(qlo, qhi, CH: int, NC: int):
+    clo = jnp.clip(qlo // CH, 0, NC - 1)
+    chi = jnp.clip((qhi - 1) // CH, 0, NC - 1)
+    return clo, chi + 1
+
+
 def _fwd_kernel(py_ref, px_ref, m_ref, img_ref, o_ref, acc_ref,
-                *, P, W, HW, CH):
+                *, P, W, HW, CH, rpc):
     img = img_ref[0]                               # (HWq, gc)
     py, px, m = py_ref[0], px_ref[0], m_ref[0]
     qlo, qhi = _tile_col_range(py, W)
     acc_ref[:] = jnp.zeros_like(acc_ref)
+    NC = img.shape[0] // CH
 
-    for c in range(img.shape[0] // CH):
-        lo = c * CH
+    def accumulate(qy, qx, img_c):
+        a = _build_a(py, px, m, qy, qx, P)
+        acc_ref[:] += jax.lax.dot_general(
+            a.astype(img_c.dtype), img_c,
+            (((1,), (0,)), ((), ())), precision=_prec(img_c.dtype),
+            preferred_element_type=jnp.float32)
 
-        @pl.when((qlo < lo + CH) & (qhi > lo))
-        def _(lo=lo):
-            qy, qx = _chunk_coords(lo, CH, HW, W)
-            a = _build_a(py, px, m, qy, qx, P)
-            acc_ref[:] += jax.lax.dot_general(
-                a.astype(img.dtype), img[lo:lo + CH],
-                (((1,), (0,)), ((), ())), precision=_prec(img.dtype),
-                preferred_element_type=jnp.float32)
+    if rpc is None:  # unrolled: static coords and slices per chunk
+        for c in range(NC):
+            lo = c * CH
+
+            @pl.when((qlo < lo + CH) & (qhi > lo))
+            def _(lo=lo):
+                qy, qx = _chunk_coords(lo, CH, HW, W)
+                accumulate(qy, qx, img[lo:lo + CH])
+    else:
+        def body(c, carry):
+            lo = pl.multiple_of(c * CH, 8)
+            qy, qx = _fori_coords(c, CH, rpc, HW, W)
+            accumulate(qy, qx, img_ref[0, pl.ds(lo, CH), :])
+            return carry
+
+        clo, cend = _chunk_span(qlo, qhi, CH, NC)
+        jax.lax.fori_loop(clo, cend, body, 0)
 
     o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _coord_grads(py, px, m, da, qy, qx, P):
+    """Per-chunk gradient body: rebuilds hats once and returns (A_chunk,
+    dmask, dpy, dpx) given dA = g @ img_chunk^T."""
+    a = None
+    dms, dpys, dpxs = [], [], []
+    for k in range(P):
+        pyk, pxk, mk = py[:, k:k + 1], px[:, k:k + 1], m[:, k:k + 1]
+        dy = pyk - qy
+        dx = pxk - qx
+        hy = jnp.maximum(1.0 - jnp.abs(dy), 0.0)
+        hx = jnp.maximum(1.0 - jnp.abs(dx), 0.0)
+        t = (mk * hy) * hx
+        a = t if a is None else a + t
+        # hat'(d) with the grid_sample floor/frac subgradient rule:
+        # d(sample)/dp = x[floor(p)+1] - x[floor(p)] → -1 on d ∈ [0,1),
+        # +1 on d ∈ [-1,0) (closed at 0 and -1, open at 1)
+        dhy = jnp.where((dy >= -1.0) & (dy < 1.0),
+                        jnp.where(dy >= 0.0, -1.0, 1.0), 0.0)
+        dhx = jnp.where((dx >= -1.0) & (dx < 1.0),
+                        jnp.where(dx >= 0.0, -1.0, 1.0), 0.0)
+        dahx = da * hx
+        dms.append(jnp.sum(dahx * hy, axis=1, keepdims=True))
+        dpys.append(mk * jnp.sum(dahx * dhy, axis=1, keepdims=True))
+        dpxs.append(mk * jnp.sum((da * hy) * dhx, axis=1, keepdims=True))
+    return (a, jnp.concatenate(dms, axis=1), jnp.concatenate(dpys, axis=1),
+            jnp.concatenate(dpxs, axis=1))
 
 
 def _bwd_kernel(py_ref, px_ref, m_ref, img_ref, g_ref,
@@ -139,7 +213,8 @@ def _bwd_kernel(py_ref, px_ref, m_ref, img_ref, g_ref,
                 dpy_acc, dpx_acc, dm_acc, *, P, W, HW, CH):
     """Fused backward: per active chunk one hat build per tap feeds both the
     dimg contraction (A^T @ g) and the dmask/doffset row-reductions over
-    dA = g @ img^T."""
+    dA = g @ img^T.  Holds the img block AND the dimg block in VMEM — only
+    used when both fit (see _sample_bwd)."""
     img = img_ref[0]                               # (HWq, gc)
     g = g_ref[0]                                   # (Tp, gc)
     py, px, m = py_ref[0], px_ref[0], m_ref[0]
@@ -165,34 +240,72 @@ def _bwd_kernel(py_ref, px_ref, m_ref, img_ref, g_ref,
                 precision=_prec(img.dtype),
                 preferred_element_type=jnp.float32)
             qy, qx = _chunk_coords(lo, CH, HW, W)
-            a = None
-            dms, dpys, dpxs = [], [], []
-            for k in range(P):
-                pyk, pxk, mk = py[:, k:k + 1], px[:, k:k + 1], m[:, k:k + 1]
-                dy = pyk - qy
-                dx = pxk - qx
-                hy = jnp.maximum(1.0 - jnp.abs(dy), 0.0)
-                hx = jnp.maximum(1.0 - jnp.abs(dx), 0.0)
-                t = (mk * hy) * hx
-                a = t if a is None else a + t
-                # hat'(d) with the grid_sample floor/frac subgradient rule:
-                # d(sample)/dp = x[floor(p)+1] - x[floor(p)] → -1 on d ∈
-                # [0,1), +1 on d ∈ [-1,0) (closed at 0 and -1, open at 1)
-                dhy = jnp.where((dy >= -1.0) & (dy < 1.0),
-                                jnp.where(dy >= 0.0, -1.0, 1.0), 0.0)
-                dhx = jnp.where((dx >= -1.0) & (dx < 1.0),
-                                jnp.where(dx >= 0.0, -1.0, 1.0), 0.0)
-                dahx = da * hx
-                dms.append(jnp.sum(dahx * hy, axis=1, keepdims=True))
-                dpys.append(mk * jnp.sum(dahx * dhy, axis=1, keepdims=True))
-                dpxs.append(mk * jnp.sum((da * hy) * dhx, axis=1,
-                                         keepdims=True))
-            dm_acc[:] += jnp.concatenate(dms, axis=1)
-            dpy_acc[:] += jnp.concatenate(dpys, axis=1)
-            dpx_acc[:] += jnp.concatenate(dpxs, axis=1)
+            a, dm_c, dpy_c, dpx_c = _coord_grads(py, px, m, da, qy, qx, P)
+            dm_acc[:] += dm_c
+            dpy_acc[:] += dpy_c
+            dpx_acc[:] += dpx_c
             dimg_ref[0, lo:lo + CH, :] += jax.lax.dot_general(
                 a.astype(g.dtype), g, (((0,), (0,)), ((), ())),
                 precision=_prec(g.dtype), preferred_element_type=jnp.float32)
+
+    dm_ref[0] = dm_acc[:]
+    dpy_ref[0] = dpy_acc[:]
+    dpx_ref[0] = dpx_acc[:]
+
+
+def _bwd_img_kernel(py_ref, px_ref, m_ref, g_ref, dimg_ref,
+                    *, P, W, HW, CH, rpc):
+    """dimg half of the split backward (large maps, fori path): no img block
+    needed — only g and the rebuilt A chunk."""
+    g = g_ref[0]
+    py, px, m = py_ref[0], px_ref[0], m_ref[0]
+    qlo, qhi = _tile_col_range(py, W)
+    NC = dimg_ref.shape[1] // CH
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
+
+    def body(c, carry):
+        lo = pl.multiple_of(c * CH, 8)
+        qy, qx = _fori_coords(c, CH, rpc, HW, W)
+        a = _build_a(py, px, m, qy, qx, P)
+        dimg_ref[0, pl.ds(lo, CH), :] += jax.lax.dot_general(
+            a.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            precision=_prec(g.dtype), preferred_element_type=jnp.float32)
+        return carry
+
+    clo, cend = _chunk_span(qlo, qhi, CH, NC)
+    jax.lax.fori_loop(clo, cend, body, 0)
+
+
+def _bwd_coord_kernel(py_ref, px_ref, m_ref, img_ref, g_ref,
+                      dpy_ref, dpx_ref, dm_ref,
+                      dpy_acc, dpx_acc, dm_acc, *, P, W, HW, CH, rpc):
+    """dmask/doffset half of the split backward (large maps, fori path)."""
+    g = g_ref[0]
+    py, px, m = py_ref[0], px_ref[0], m_ref[0]
+    qlo, qhi = _tile_col_range(py, W)
+    NC = img_ref.shape[1] // CH
+
+    for ref in (dpy_acc, dpx_acc, dm_acc):
+        ref[:] = jnp.zeros_like(ref)
+
+    def body(c, carry):
+        lo = pl.multiple_of(c * CH, 8)
+        da = jax.lax.dot_general(
+            g, img_ref[0, pl.ds(lo, CH), :], (((1,), (1,)), ((), ())),
+            precision=_prec(img_ref.dtype),
+            preferred_element_type=jnp.float32)
+        qy, qx = _fori_coords(c, CH, rpc, HW, W)
+        _, dm_c, dpy_c, dpx_c = _coord_grads(py, px, m, da, qy, qx, P)
+        dm_acc[:] += dm_c
+        dpy_acc[:] += dpy_c
+        dpx_acc[:] += dpx_c
+        return carry
+
+    clo, cend = _chunk_span(qlo, qhi, CH, NC)
+    jax.lax.fori_loop(clo, cend, body, 0)
 
     dm_ref[0] = dm_acc[:]
     dpy_ref[0] = dpy_acc[:]
@@ -221,14 +334,23 @@ def _specs(Tp, P, HWq, gc):
     return tile, full, out
 
 
+def _plan(HW: int, W: int):
+    """(CH, rpc): unrolled static chunks (rpc None) for small maps, fori
+    over row-aligned chunks for large ones (stack-slot reuse — see above)."""
+    CH = _chunk_cols(HW)
+    if -(-HW // CH) <= _UNROLL_MAX:
+        return CH, None
+    return _chunk_rows(W)
+
+
 def _forward(img, py, px, m, H, W, interpret):
     BG, HW, gc = img.shape
     _, HWo, P = py.shape
-    CH = _chunk_cols(HW)
+    CH, rpc = _plan(HW, W)
     imgp, pyp, pxp, mp, Tp, PT = _pad_inputs(img, py, px, m, CH)
     tile, full, out = _specs(Tp, P, imgp.shape[1], gc)
     o = pl.pallas_call(
-        functools.partial(_fwd_kernel, P=P, W=W, HW=HW, CH=CH),
+        functools.partial(_fwd_kernel, P=P, W=W, HW=HW, CH=CH, rpc=rpc),
         out_shape=jax.ShapeDtypeStruct((BG, PT * Tp, gc), img.dtype),
         grid=(BG, PT),
         in_specs=[tile, tile, tile, full],
@@ -256,23 +378,48 @@ def _sample_bwd(H, W, interpret, res, g):
     BG, HW, gc = img.shape
     _, HWo, P = py.shape
     interpret = interpret or _force_interpret()
-    CH = _chunk_cols(HW)
+    CH, rpc = _plan(HW, W)
     imgp, pyp, pxp, mp, Tp, PT = _pad_inputs(img, py, px, m, CH)
     HWq = imgp.shape[1]
     gp = jnp.pad(g, ((0, 0), (0, PT * Tp - HWo), (0, 0)))
     tile, full, outs = _specs(Tp, P, HWq, gc)
 
     coord = jax.ShapeDtypeStruct((BG, PT * Tp, P), jnp.float32)
-    dimg, dpy, dpx, dm = pl.pallas_call(
-        functools.partial(_bwd_kernel, P=P, W=W, HW=HW, CH=CH),
-        out_shape=[jax.ShapeDtypeStruct((BG, HWq, gc), jnp.float32),
-                   coord, coord, coord],
-        grid=(BG, PT),
-        in_specs=[tile, tile, tile, full, outs],
-        out_specs=[full, tile, tile, tile],
-        scratch_shapes=[pltpu.VMEM((Tp, P), jnp.float32)] * 3,
-        interpret=interpret,
-    )(pyp, pxp, mp, imgp, gp)
+    dimg_shape = jax.ShapeDtypeStruct((BG, HWq, gc), jnp.float32)
+    coord_scratch = [pltpu.VMEM((Tp, P), jnp.float32)] * 3
+    if rpc is None:
+        # small map: fused kernel (img block + dimg block both fit in VMEM)
+        dimg, dpy, dpx, dm = pl.pallas_call(
+            functools.partial(_bwd_kernel, P=P, W=W, HW=HW, CH=CH),
+            out_shape=[dimg_shape, coord, coord, coord],
+            grid=(BG, PT),
+            in_specs=[tile, tile, tile, full, outs],
+            out_specs=[full, tile, tile, tile],
+            scratch_shapes=coord_scratch,
+            interpret=interpret,
+        )(pyp, pxp, mp, imgp, gp)
+    else:
+        # large map: split so neither kernel holds img AND dimg at once
+        # (measured 17-20 MB scoped-VMEM OOM fused at the 448² stage 0)
+        dimg = pl.pallas_call(
+            functools.partial(_bwd_img_kernel, P=P, W=W, HW=HW, CH=CH,
+                              rpc=rpc),
+            out_shape=dimg_shape,
+            grid=(BG, PT),
+            in_specs=[tile, tile, tile, outs],
+            out_specs=full,
+            interpret=interpret,
+        )(pyp, pxp, mp, gp)
+        dpy, dpx, dm = pl.pallas_call(
+            functools.partial(_bwd_coord_kernel, P=P, W=W, HW=HW, CH=CH,
+                              rpc=rpc),
+            out_shape=[coord, coord, coord],
+            grid=(BG, PT),
+            in_specs=[tile, tile, tile, full, outs],
+            out_specs=[tile, tile, tile],
+            scratch_shapes=coord_scratch,
+            interpret=interpret,
+        )(pyp, pxp, mp, imgp, gp)
     trim = lambda t, ref: t[:, :HWo].astype(ref.dtype)
     return (dimg[:, :HW].astype(img.dtype), trim(dpy, py), trim(dpx, px),
             trim(dm, m))

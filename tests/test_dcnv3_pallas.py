@@ -86,6 +86,24 @@ def test_chunked_path_matches_core(off_std):
                                    rtol=1e-3, err_msg=name)
 
 
+def test_split_backward_large_map():
+    """96² map crosses the fused-backward VMEM threshold → the split
+    dimg/coord kernel pair must produce the same grads."""
+    N, H, W, G, gc = 1, 96, 96, 1, 4
+    x, off, m = _inputs(5, N, H, W, G, gc, 3, off_std=1.5)
+
+    def loss(fn):
+        return lambda x, o, m: jnp.sum(jnp.sin(fn(x, o, m)))
+
+    gr = jax.grad(loss(lambda x, o, m: dcnv3_core(x, o, m, group=G)),
+                  argnums=(0, 1, 2))(x, off, m)
+    go = jax.grad(loss(lambda x, o, m: dcnv3_core_onehot(
+        x, o, m, group=G, interpret=True)), argnums=(0, 1, 2))(x, off, m)
+    for name, a, b in zip(["dx", "doffset", "dmask"], gr, go):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
 def test_stride_two():
     x, off, m = _inputs(3, 1, 10, 10, 2, 4, 3)
     off = off[:, ::2, ::2]
