@@ -428,6 +428,13 @@ def _sample_bwd(H, W, interpret, res, g):
 dcnv3_sample.defvjp(_sample_fwd, _sample_bwd)
 
 
+# Above this many flat columns the per-(image, group) img/dimg VMEM blocks
+# (lane-padded ×8 for gc=16) no longer fit even split — 640²+ detection
+# inputs fall back to the XLA gather path (HBM-streamed, any size).  Lifting
+# this needs ANY-space operands with per-chunk DMA; see PERF.md headroom.
+_PALLAS_MAX_HW = 20000
+
+
 def dcnv3_core_onehot(x: Array, offset: Array, mask: Array, *,
                       kernel: int = 3, stride: int = 1, pad: int = 1,
                       dilation: int = 1, group: int = 4,
@@ -441,6 +448,11 @@ def dcnv3_core_onehot(x: Array, offset: Array, mask: Array, *,
         px = (dil*(K-1))//2 - pad + wo*stride + (tap_x + off_x)*offset_scale
     """
     N, H, W, C = x.shape
+    if H * W > _PALLAS_MAX_HW:
+        from mtp_tpu.ops.dcnv3 import dcnv3_core
+        return dcnv3_core(x, offset, mask, kernel=kernel, stride=stride,
+                          pad=pad, dilation=dilation, group=group,
+                          offset_scale=offset_scale)
     gc = C // group
     K = kernel
     P = K * K
