@@ -101,14 +101,6 @@ def _chunk_cols(HW: int) -> int:
     return min(_MIN_CH, _round_up(HW, 128))
 
 
-def _chunk_rows(W: int):
-    """Row-aligned chunk width for the fori path: rpc rows such that rpc*W
-    is sublane(8)-aligned and >= ~512 columns."""
-    step = 8 // np.gcd(W, 8)
-    rpc = -(-max(1, _MIN_CH // W) // step) * step
-    return rpc * W, rpc
-
-
 def _chunk_coords(lo: int, CH: int, HW: int, W: int):
     """Static qy/qx for flat columns [lo, lo+CH); padded columns pushed far
     away so every hat evaluates to zero there."""
@@ -138,6 +130,20 @@ def _fori_coords(c, CH: int, rpc: int, HW: int, W: int):
     return qy, qx
 
 
+def _packed_coords(c, j: int, CH: int, rpc: int, HW: int, W: int):
+    """Coords of lane-phase j of a packed chunk: flat columns
+    q = c·CH + 8·i + j for i < CH/8.  Static per-j local grid + the scalar
+    chunk-row offset (CH = rpc·W keeps chunks row-aligned)."""
+    CH8 = CH // 8
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, CH8), 1) * 8 + j
+    valid = qi + c * CH < HW
+    far = jnp.float32(-(2 ** 20))
+    qy = jnp.where(valid, (qi // W).astype(jnp.float32)
+                   + (c * rpc).astype(jnp.float32), far)
+    qx = jnp.where(valid, (qi % W).astype(jnp.float32), far)
+    return qy, qx
+
+
 def _chunk_span(qlo, qhi, CH: int, NC: int):
     clo = jnp.clip(qlo // CH, 0, NC - 1)
     chi = jnp.clip((qhi - 1) // CH, 0, NC - 1)
@@ -145,12 +151,10 @@ def _chunk_span(qlo, qhi, CH: int, NC: int):
 
 
 def _fwd_kernel(py_ref, px_ref, m_ref, img_ref, o_ref, acc_ref,
-                *, P, W, HW, CH, rpc):
-    img = img_ref[0]                               # (HWq, gc)
+                *, P, W, HW, CH, rpc, packed):
     py, px, m = py_ref[0], px_ref[0], m_ref[0]
     qlo, qhi = _tile_col_range(py, W)
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    NC = img.shape[0] // CH
 
     def accumulate(qy, qx, img_c):
         a = _build_a(py, px, m, qy, qx, P)
@@ -160,18 +164,43 @@ def _fwd_kernel(py_ref, px_ref, m_ref, img_ref, o_ref, acc_ref,
             preferred_element_type=jnp.float32)
 
     if rpc is None:  # unrolled: static coords and slices per chunk
-        for c in range(NC):
+        img = img_ref[0]                           # (HWq, gc)
+        for c in range(img.shape[0] // CH):
             lo = c * CH
 
             @pl.when((qlo < lo + CH) & (qhi > lo))
             def _(lo=lo):
                 qy, qx = _chunk_coords(lo, CH, HW, W)
                 accumulate(qy, qx, img[lo:lo + CH])
-    else:
+    elif not packed:  # fori over row-aligned chunks, map VMEM-resident
+        NC = img_ref.shape[1] // CH
+
         def body(c, carry):
             lo = pl.multiple_of(c * CH, 8)
             qy, qx = _fori_coords(c, CH, rpc, HW, W)
             accumulate(qy, qx, img_ref[0, pl.ds(lo, CH), :])
+            return carry
+
+        clo, cend = _chunk_span(qlo, qhi, CH, NC)
+        jax.lax.fori_loop(clo, cend, body, 0)
+    else:
+        # fori over the lane-PACKED map (HWq//8, 8·gc): no ×8 lane padding,
+        # so even 256² detection maps fit the VMEM block.  Mosaic cannot
+        # reshape the packed chunk back (lane→sublane relayout crashes the
+        # compiler), so A is built per lane-phase j against the static
+        # j-subset coordinates and contracted with a static lane slice —
+        # eight small builds/dots, same total work, nothing but proven
+        # constructs
+        gc = o_ref.shape[-1]
+        CH8 = CH // 8
+        NC = img_ref.shape[1] * 8 // CH
+
+        def body(c, carry):
+            lo8 = pl.multiple_of(c * CH8, 8)
+            blk = img_ref[0, pl.ds(lo8, CH8), :]   # (CH8, 8·gc)
+            for j in range(8):
+                qy, qx = _packed_coords(c, j, CH, rpc, HW, W)
+                accumulate(qy, qx, blk[:, j * gc:(j + 1) * gc])
             return carry
 
         clo, cend = _chunk_span(qlo, qhi, CH, NC)
@@ -254,26 +283,45 @@ def _bwd_kernel(py_ref, px_ref, m_ref, img_ref, g_ref,
 
 
 def _bwd_img_kernel(py_ref, px_ref, m_ref, g_ref, dimg_ref,
-                    *, P, W, HW, CH, rpc):
-    """dimg half of the split backward (large maps, fori path): no img block
-    needed — only g and the rebuilt A chunk."""
+                    *, P, W, HW, CH, rpc, packed):
+    """dimg half of the split backward (fori path): no img block needed —
+    only g and the rebuilt A chunk.  In packed mode dimg accumulates in the
+    lane-packed layout (HWq//8, 8·gc) per lane-phase; the driver unpacks."""
     g = g_ref[0]
+    gc = g.shape[-1]
     py, px, m = py_ref[0], px_ref[0], m_ref[0]
     qlo, qhi = _tile_col_range(py, W)
-    NC = dimg_ref.shape[1] // CH
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
 
-    def body(c, carry):
-        lo = pl.multiple_of(c * CH, 8)
-        qy, qx = _fori_coords(c, CH, rpc, HW, W)
-        a = _build_a(py, px, m, qy, qx, P)
-        dimg_ref[0, pl.ds(lo, CH), :] += jax.lax.dot_general(
+    def contrib(a):
+        return jax.lax.dot_general(                # A^T @ g
             a.astype(g.dtype), g, (((0,), (0,)), ((), ())),
             precision=_prec(g.dtype), preferred_element_type=jnp.float32)
-        return carry
+
+    if not packed:
+        NC = dimg_ref.shape[1] // CH
+
+        def body(c, carry):
+            lo = pl.multiple_of(c * CH, 8)
+            qy, qx = _fori_coords(c, CH, rpc, HW, W)
+            a = _build_a(py, px, m, qy, qx, P)
+            dimg_ref[0, pl.ds(lo, CH), :] += contrib(a)
+            return carry
+    else:
+        CH8 = CH // 8
+        NC = dimg_ref.shape[1] * 8 // CH
+
+        def body(c, carry):
+            lo8 = pl.multiple_of(c * CH8, 8)
+            for j in range(8):
+                qy, qx = _packed_coords(c, j, CH, rpc, HW, W)
+                a = _build_a(py, px, m, qy, qx, P)
+                dimg_ref[0, pl.ds(lo8, CH8),
+                         j * gc:(j + 1) * gc] += contrib(a)
+            return carry
 
     clo, cend = _chunk_span(qlo, qhi, CH, NC)
     jax.lax.fori_loop(clo, cend, body, 0)
@@ -281,28 +329,45 @@ def _bwd_img_kernel(py_ref, px_ref, m_ref, g_ref, dimg_ref,
 
 def _bwd_coord_kernel(py_ref, px_ref, m_ref, img_ref, g_ref,
                       dpy_ref, dpx_ref, dm_ref,
-                      dpy_acc, dpx_acc, dm_acc, *, P, W, HW, CH, rpc):
-    """dmask/doffset half of the split backward (large maps, fori path)."""
+                      dpy_acc, dpx_acc, dm_acc,
+                      *, P, W, HW, CH, rpc, packed):
+    """dmask/doffset half of the split backward (fori path)."""
     g = g_ref[0]
+    gc = g.shape[-1]
     py, px, m = py_ref[0], px_ref[0], m_ref[0]
     qlo, qhi = _tile_col_range(py, W)
-    NC = img_ref.shape[1] // CH
 
     for ref in (dpy_acc, dpx_acc, dm_acc):
         ref[:] = jnp.zeros_like(ref)
 
-    def body(c, carry):
-        lo = pl.multiple_of(c * CH, 8)
+    def reduce(qy, qx, img_c):
         da = jax.lax.dot_general(
-            g, img_ref[0, pl.ds(lo, CH), :], (((1,), (1,)), ((), ())),
-            precision=_prec(img_ref.dtype),
-            preferred_element_type=jnp.float32)
-        qy, qx = _fori_coords(c, CH, rpc, HW, W)
+            g, img_c, (((1,), (1,)), ((), ())),
+            precision=_prec(img_c.dtype), preferred_element_type=jnp.float32)
         _, dm_c, dpy_c, dpx_c = _coord_grads(py, px, m, da, qy, qx, P)
         dm_acc[:] += dm_c
         dpy_acc[:] += dpy_c
         dpx_acc[:] += dpx_c
-        return carry
+
+    if not packed:
+        NC = img_ref.shape[1] // CH
+
+        def body(c, carry):
+            lo = pl.multiple_of(c * CH, 8)
+            qy, qx = _fori_coords(c, CH, rpc, HW, W)
+            reduce(qy, qx, img_ref[0, pl.ds(lo, CH), :])
+            return carry
+    else:
+        CH8 = CH // 8
+        NC = img_ref.shape[1] * 8 // CH
+
+        def body(c, carry):
+            lo8 = pl.multiple_of(c * CH8, 8)
+            blk = img_ref[0, pl.ds(lo8, CH8), :]
+            for j in range(8):
+                qy, qx = _packed_coords(c, j, CH, rpc, HW, W)
+                reduce(qy, qx, blk[:, j * gc:(j + 1) * gc])
+            return carry
 
     clo, cend = _chunk_span(qlo, qhi, CH, NC)
     jax.lax.fori_loop(clo, cend, body, 0)
@@ -324,38 +389,84 @@ def _pad_inputs(img, py, px, m, CH):
             pad2(m.astype(jnp.float32), HWo_p), Tp, HWo_p // Tp)
 
 
-def _specs(Tp, P, HWq, gc):
+def _specs(Tp, P, map_rows, map_cols, gc):
+    """tile: per-(bg, pt) coordinate block; full: the whole (possibly
+    lane-packed) map for one bg; out: per-tile output rows."""
     tile = pl.BlockSpec((1, Tp, P), lambda bg, pt: (bg, pt, 0),
                         memory_space=pltpu.VMEM)
-    full = pl.BlockSpec((1, HWq, gc), lambda bg, pt: (bg, 0, 0),
+    full = pl.BlockSpec((1, map_rows, map_cols), lambda bg, pt: (bg, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.BlockSpec((1, Tp, gc), lambda bg, pt: (bg, pt, 0),
                        memory_space=pltpu.VMEM)
     return tile, full, out
 
 
+# above this many flat columns the unpacked VMEM map/dimg blocks (lane-padded
+# ×8 at gc=16) stop fitting even with the split backward — switch to the
+# lane-packed per-phase tier
+_PALLAS_MAX_HW = 20000
+
+
+def _chunk_rows(W: int, min_ch: int):
+    """Row-aligned chunk width: rpc rows such that rpc·W is sublane(8)-
+    aligned and ≥ ~min_ch columns."""
+    step = 8 // np.gcd(W, 8)
+    rpc = -(-max(1, min_ch // W) // step) * step
+    return rpc * W, rpc
+
+
 def _plan(HW: int, W: int):
-    """(CH, rpc): unrolled static chunks (rpc None) for small maps, fori
-    over row-aligned chunks for large ones (stack-slot reuse — see above)."""
+    """(CH, rpc, Wk, packed): unrolled static chunks (rpc None) for small
+    maps; fori over row-aligned chunks for mid-size ones (stack-slot reuse);
+    above _PALLAS_MAX_HW additionally lane-PACK the map (no ×8 lane padding
+    → detection-scale blocks fit VMEM), with the width padded to Wk =
+    ceil64(W) so packed chunk starts stay sublane-aligned, and CH ≥ 1024 so
+    each lane-phase works on ≥128 lanes."""
     CH = _chunk_cols(HW)
     if -(-HW // CH) <= _UNROLL_MAX:
-        return CH, None
-    return _chunk_rows(W)
+        return CH, None, W, False
+    if HW <= _PALLAS_MAX_HW:
+        CH, rpc = _chunk_rows(W, _MIN_CH)
+        return CH, rpc, W, False
+    Wk = _round_up(W, 64)
+    rpc = max(1, -(-1024 // Wk))
+    return rpc * Wk, rpc, Wk, True
+
+
+def _prep_fori(img, W, Wk, CH):
+    """Pad the map width to Wk and lane-pack: (BG, H·W, gc) →
+    (BG, H·Wk/8, 8·gc).  Samples landing in the padded columns hit zero
+    pixels — exactly the grid_sample zero-padding semantics."""
+    BG, HW, gc = img.shape
+    H_ = HW // W
+    if Wk != W:
+        img = jnp.pad(img.reshape(BG, H_, W, gc),
+                      ((0, 0), (0, 0), (0, Wk - W), (0, 0)))
+        img = img.reshape(BG, H_ * Wk, gc)
+    HWk = H_ * Wk
+    HWq = _round_up(HWk, CH)
+    img = jnp.pad(img, ((0, 0), (0, HWq - HWk), (0, 0)))
+    return img.reshape(BG, HWq // 8, 8 * gc), HWk, HWq
 
 
 def _forward(img, py, px, m, H, W, interpret):
     BG, HW, gc = img.shape
     _, HWo, P = py.shape
-    CH, rpc = _plan(HW, W)
+    CH, rpc, Wk, packed = _plan(HW, W)
     imgp, pyp, pxp, mp, Tp, PT = _pad_inputs(img, py, px, m, CH)
-    tile, full, out = _specs(Tp, P, imgp.shape[1], gc)
+    HWk = HW
+    if packed:
+        imgp, HWk, HWq = _prep_fori(img, W, Wk, CH)
+    tile, full, out = _specs(Tp, P, imgp.shape[1], imgp.shape[2], gc)
+    acc = pltpu.VMEM((Tp, gc), jnp.float32)
     o = pl.pallas_call(
-        functools.partial(_fwd_kernel, P=P, W=W, HW=HW, CH=CH, rpc=rpc),
+        functools.partial(_fwd_kernel, P=P, W=Wk, HW=HWk, CH=CH, rpc=rpc,
+                          packed=packed),
         out_shape=jax.ShapeDtypeStruct((BG, PT * Tp, gc), img.dtype),
         grid=(BG, PT),
         in_specs=[tile, tile, tile, full],
         out_specs=out,
-        scratch_shapes=[pltpu.VMEM((Tp, gc), jnp.float32)],
+        scratch_shapes=[acc],
         interpret=interpret or _force_interpret(),
     )(pyp, pxp, mp, imgp)
     return o[:, :HWo]
@@ -378,32 +489,42 @@ def _sample_bwd(H, W, interpret, res, g):
     BG, HW, gc = img.shape
     _, HWo, P = py.shape
     interpret = interpret or _force_interpret()
-    CH, rpc = _plan(HW, W)
+    CH, rpc, Wk, packed = _plan(HW, W)
     imgp, pyp, pxp, mp, Tp, PT = _pad_inputs(img, py, px, m, CH)
     HWq = imgp.shape[1]
     gp = jnp.pad(g, ((0, 0), (0, PT * Tp - HWo), (0, 0)))
-    tile, full, outs = _specs(Tp, P, HWq, gc)
 
     coord = jax.ShapeDtypeStruct((BG, PT * Tp, P), jnp.float32)
-    dimg_shape = jax.ShapeDtypeStruct((BG, HWq, gc), jnp.float32)
     coord_scratch = [pltpu.VMEM((Tp, P), jnp.float32)] * 3
     if rpc is None:
         # small map: fused kernel (img block + dimg block both fit in VMEM)
+        tile, full, outs = _specs(Tp, P, HWq, gc, gc)
         dimg, dpy, dpx, dm = pl.pallas_call(
             functools.partial(_bwd_kernel, P=P, W=W, HW=HW, CH=CH),
-            out_shape=[dimg_shape, coord, coord, coord],
+            out_shape=[jax.ShapeDtypeStruct((BG, HWq, gc), jnp.float32),
+                       coord, coord, coord],
             grid=(BG, PT),
             in_specs=[tile, tile, tile, full, outs],
             out_specs=[full, tile, tile, tile],
             scratch_shapes=coord_scratch,
             interpret=interpret,
         )(pyp, pxp, mp, imgp, gp)
+        dimg = dimg[:, :HW]
     else:
-        # large map: split so neither kernel holds img AND dimg at once
-        # (measured 17-20 MB scoped-VMEM OOM fused at the 448² stage 0)
+        # mid/large map: split kernels so neither holds img AND dimg at once
+        # (fused at the 448² stage 0 measured 17-20 MB scoped VMEM — over
+        # the 16 MB limit); large maps additionally lane-packed
+        HWk = HW
+        if packed:
+            imgp, HWk, HWq = _prep_fori(img, W, Wk, CH)
+            dimg_shape = jax.ShapeDtypeStruct((BG, HWq // 8, 8 * gc),
+                                              jnp.float32)
+        else:
+            dimg_shape = jax.ShapeDtypeStruct((BG, HWq, gc), jnp.float32)
+        tile, full, outs = _specs(Tp, P, imgp.shape[1], imgp.shape[2], gc)
         dimg = pl.pallas_call(
-            functools.partial(_bwd_img_kernel, P=P, W=W, HW=HW, CH=CH,
-                              rpc=rpc),
+            functools.partial(_bwd_img_kernel, P=P, W=Wk, HW=HWk, CH=CH,
+                              rpc=rpc, packed=packed),
             out_shape=dimg_shape,
             grid=(BG, PT),
             in_specs=[tile, tile, tile, outs],
@@ -411,8 +532,8 @@ def _sample_bwd(H, W, interpret, res, g):
             interpret=interpret,
         )(pyp, pxp, mp, gp)
         dpy, dpx, dm = pl.pallas_call(
-            functools.partial(_bwd_coord_kernel, P=P, W=W, HW=HW, CH=CH,
-                              rpc=rpc),
+            functools.partial(_bwd_coord_kernel, P=P, W=Wk, HW=HWk, CH=CH,
+                              rpc=rpc, packed=packed),
             out_shape=[coord, coord, coord],
             grid=(BG, PT),
             in_specs=[tile, tile, tile, full, outs],
@@ -420,19 +541,21 @@ def _sample_bwd(H, W, interpret, res, g):
             scratch_shapes=coord_scratch,
             interpret=interpret,
         )(pyp, pxp, mp, imgp, gp)
+        if packed:
+            # unpack (BG, HWq/8, 8gc) → (BG, HWq, gc); drop width/flat pad
+            dimg = dimg.reshape(BG, HWq, gc)[:, :HWk]
+            if Wk != W:
+                H_ = HW // W
+                dimg = dimg.reshape(BG, H_, Wk, gc)[:, :, :W].reshape(
+                    BG, HW, gc)
+        else:
+            dimg = dimg[:, :HW]
     trim = lambda t, ref: t[:, :HWo].astype(ref.dtype)
-    return (dimg[:, :HW].astype(img.dtype), trim(dpy, py), trim(dpx, px),
+    return (dimg.astype(img.dtype), trim(dpy, py), trim(dpx, px),
             trim(dm, m))
 
 
 dcnv3_sample.defvjp(_sample_fwd, _sample_bwd)
-
-
-# Above this many flat columns the per-(image, group) img/dimg VMEM blocks
-# (lane-padded ×8 for gc=16) no longer fit even split — 640²+ detection
-# inputs fall back to the XLA gather path (HBM-streamed, any size).  Lifting
-# this needs ANY-space operands with per-chunk DMA; see PERF.md headroom.
-_PALLAS_MAX_HW = 20000
 
 
 def dcnv3_core_onehot(x: Array, offset: Array, mask: Array, *,
@@ -448,7 +571,9 @@ def dcnv3_core_onehot(x: Array, offset: Array, mask: Array, *,
         px = (dil*(K-1))//2 - pad + wo*stride + (tap_x + off_x)*offset_scale
     """
     N, H, W, C = x.shape
-    if H * W > _PALLAS_MAX_HW:
+    import os
+    # A/B diagnostics: route maps below a size floor to the gather path
+    if H * W < int(os.environ.get("MTP_DCN_PALLAS_MIN_HW", "0")):
         from mtp_tpu.ops.dcnv3 import dcnv3_core
         return dcnv3_core(x, offset, mask, kernel=kernel, stride=stride,
                           pad=pad, dilation=dilation, group=group,

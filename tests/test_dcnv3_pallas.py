@@ -12,12 +12,20 @@ from mtp_tpu.ops.dcnv3 import dcnv3_core
 from mtp_tpu.ops.dcnv3_pallas import dcnv3_core_onehot
 
 
-def _inputs(seed, N, H, W, G, gc, K, off_std=2.0):
+def _inputs(seed, N, H, W, G, gc, K, off_std=2.0, quarter=False):
     rng = np.random.default_rng(seed)
     C = G * gc
     x = rng.standard_normal((N, H, W, C)).astype(np.float32)
     off = (rng.standard_normal((N, H, W, G * K * K * 2)) * off_std
            ).astype(np.float32)
+    if quarter:
+        # snap sampling points to x.25/x.75: the jnp core rounds coordinates
+        # through the reference's normalized representation, the kernel
+        # computes pixel-space directly — within ~ULP(H) of an integer the
+        # two can pick different hat subgradients (an O(1) dpy jump on a
+        # measure-~H·eps set).  Quarter fractions keep every coordinate far
+        # from the discontinuity.
+        off = np.float32(np.round(off * 2) / 2 + 0.25)
     m = rng.uniform(0, 1, (N, H, W, G * K * K)).astype(np.float32)
     return jnp.asarray(x), jnp.asarray(off), jnp.asarray(m)
 
@@ -65,7 +73,7 @@ def test_chunked_path_matches_core(off_std):
     the chunks the tile touches, huge offsets activate (and must correctly
     sum) many — both must agree with the jnp path."""
     N, H, W, G, gc = 1, 48, 48, 1, 4
-    x, off, m = _inputs(4, N, H, W, G, gc, 3, off_std=off_std)
+    x, off, m = _inputs(4, N, H, W, G, gc, 3, off_std=off_std, quarter=True)
     from mtp_tpu.ops import dcnv3_pallas
     assert dcnv3_pallas._chunk_cols(H * W) == 512
     ref = dcnv3_core(x, off, m, kernel=3, group=G, offset_scale=1.0)
@@ -90,7 +98,7 @@ def test_split_backward_large_map():
     """96² map crosses the fused-backward VMEM threshold → the split
     dimg/coord kernel pair must produce the same grads."""
     N, H, W, G, gc = 1, 96, 96, 1, 4
-    x, off, m = _inputs(5, N, H, W, G, gc, 3, off_std=1.5)
+    x, off, m = _inputs(5, N, H, W, G, gc, 3, off_std=1.5, quarter=True)
 
     def loss(fn):
         return lambda x, o, m: jnp.sum(jnp.sin(fn(x, o, m)))
@@ -101,6 +109,37 @@ def test_split_backward_large_map():
         x, o, m, group=G, interpret=True)), argnums=(0, 1, 2))(x, off, m)
     for name, a, b in zip(["dx", "doffset", "dmask"], gr, go):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
+                                   rtol=1e-3, err_msg=name)
+
+
+def test_packed_tier_large_map():
+    """144² map rides the lane-packed fori tier with a 144→192 width pad —
+    packing, in-kernel unpack reshape, and the padded-column zero semantics
+    must all match the jnp path fwd+grad."""
+    from mtp_tpu.ops import dcnv3_pallas
+    N, H, W, G, gc = 1, 144, 144, 1, 4
+    CH, rpc, Wk, packed = dcnv3_pallas._plan(H * W, W)
+    assert packed and Wk == 192
+    x, off, m = _inputs(6, N, H, W, G, gc, 3, off_std=1.5, quarter=True)
+    ref = dcnv3_core(x, off, m, kernel=3, group=G)
+    out = dcnv3_core_onehot(x, off, m, kernel=3, group=G, interpret=True)
+    # tolerance grows with H: the jnp core rounds coordinates through the
+    # reference's normalized-[0,1] representation while the kernel computes
+    # pixel-space directly — the two diverge by ~ULP(H) per coordinate,
+    # which moves bilinear weights by ~1e-5·H
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=4e-4, rtol=1e-4)
+
+    def loss(fn):
+        return lambda x, o, m: jnp.sum(jnp.sin(fn(x, o, m)))
+
+    gr = jax.grad(loss(lambda x, o, m: dcnv3_core(x, o, m, group=G)),
+                  argnums=(0, 1, 2))(x, off, m)
+    go = jax.grad(loss(lambda x, o, m: dcnv3_core_onehot(
+        x, o, m, group=G, interpret=True)), argnums=(0, 1, 2))(x, off, m)
+    for name, a, b in zip(["dx", "doffset", "dmask"], gr, go):
+        # grad tolerance also carries the ~1e-5·H coordinate divergence
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4,
                                    rtol=1e-3, err_msg=name)
 
 
