@@ -133,6 +133,11 @@ def _det(backbone: BackboneConfig, num_classes: int, steps: int = 90000,
 
 def _internimage_xl(img_size: int, **kw):
     from mtp_tpu.models.backbones import internimage_backbone_config
+    # the reference trains XL with checkpointing unconditionally
+    # (Multi-Task_Pretrain/models.py:102 with_cp=True); scan keeps the
+    # 39-layer program compile-sized
+    kw.setdefault("remat", True)
+    kw.setdefault("scan", True)
     return internimage_backbone_config("internimage_xl", img_size, **kw)
 
 

@@ -1,0 +1,90 @@
+"""Device-vs-host attribution of the 9-way multitask validation loop
+(VERDICT r2 weak #5: the per-image numpy unpadding + full-image mask
+pasting is host-side Python — reference pastes on GPU).  Runs
+MultiTaskPretrainTask.evaluate on synthetic batches at the pretrain shape
+and reports the eval_device_s / eval_host_s split it logs."""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtp_tpu.tasks.multitask import MultiTaskPretrainTask
+from mtp_tpu.utils.config import (BACKBONES, MeshConfig, OptimizerConfig,
+                                  ScheduleConfig, TaskConfig, TrainConfig)
+
+SIZE = int(os.environ.get("ME_SIZE", "448"))
+BS = int(os.environ.get("ME_BS", "2"))       # per dataset
+BATCHES = int(os.environ.get("ME_BATCHES", "4"))
+NAME = os.environ.get("ME_BACKBONE", "vit_l_rvsa")
+
+
+def batches(task, n):
+    rng = np.random.default_rng(0)
+    G = 24
+    for _ in range(n):
+        b = {}
+        for d, ncls in enumerate(task.model.classes):
+            xy = rng.uniform(16, SIZE - 80, (BS, G, 2))
+            wh = rng.uniform(16, 64, (BS, G, 2))
+            valid = np.zeros((BS, G), bool)
+            valid[:, :12] = True
+            b[f"d{d}"] = {
+                "image": rng.standard_normal(
+                    (BS, SIZE, SIZE, 3)).astype(np.float32),
+                "ss_label": rng.integers(
+                    0, ncls, (BS, SIZE, SIZE)).astype(np.int32),
+                "gt_boxes": np.concatenate(
+                    [xy, xy + wh], -1).astype(np.float32),
+                "gt_labels": rng.integers(0, ncls - 1, (BS, G)).astype(
+                    np.int32),
+                "gt_valid": valid,
+                "gt_masks": (rng.uniform(size=(BS, G, SIZE // 4, SIZE // 4))
+                             > 0.5).astype(np.float32),
+                "r_gt_boxes": np.stack(
+                    [rng.uniform(64, SIZE - 64, (BS, G)),
+                     rng.uniform(64, SIZE - 64, (BS, G)),
+                     rng.uniform(24, 60, (BS, G)),
+                     rng.uniform(12, 30, (BS, G)),
+                     rng.uniform(-1.2, 1.2, (BS, G))], -1).astype(np.float32),
+                "r_gt_labels": rng.integers(0, ncls - 1, (BS, G)).astype(
+                    np.int32),
+                "r_gt_valid": valid,
+            }
+        yield b
+
+
+def main():
+    bb = BACKBONES[NAME](img_size=SIZE, dtype="bfloat16", scan=True,
+                         pallas_attn=True)
+    cfg = TaskConfig(
+        task="multitask", num_classes=0, backbone=bb,
+        train=TrainConfig(optimizer=OptimizerConfig(lr=1e-4),
+                          schedule=ScheduleConfig(kind="cosine",
+                                                  total_steps=1000),
+                          mesh=MeshConfig(data=1, model=1)))
+    task = MultiTaskPretrainTask(cfg)
+    state = task.init_state(jax.random.PRNGKey(0))
+    jax.block_until_ready(state.params)
+    print(f"devices={jax.devices()} size={SIZE} bs={BS}/dataset "
+          f"batches={BATCHES}", flush=True)
+
+    # warm (compile the 3 predict programs), then timed pass
+    task.evaluate(state, batches(task, 1), max_batches=1)
+    t0 = time.perf_counter()
+    out = task.evaluate(state, batches(task, BATCHES), max_batches=BATCHES)
+    wall = time.perf_counter() - t0
+    imgs = 3 * BS * BATCHES
+    print(f"eval: {wall:.2f}s wall for {imgs} images "
+          f"({imgs / wall:.2f} img/s) — device {out['eval_device_s']}s, "
+          f"host {out['eval_host_s']}s "
+          f"(host share {out['eval_host_s'] / wall:.0%})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
