@@ -172,10 +172,13 @@ def bench_pretrain():
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch)
-    float(metrics["loss"])  # sync via scalar fetch (relay-safe timing)
+    lossN = float(metrics["loss"])  # sync via scalar fetch (relay-safe)
     dt = time.perf_counter() - t0
     ms = dt / iters * 1e3
     imgs = B * iters / dt
+    # fixed-batch overfit signal: the 9-way loss must decrease over the run
+    log(f"bench[pretrain]: loss {loss0:.3f} -> {lossN:.3f} after "
+        f"{iters + 1} steps")
 
     hbm_gb = float("nan")
     try:

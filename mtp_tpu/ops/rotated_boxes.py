@@ -6,8 +6,10 @@ rotated_detection/oriented_rcnn.py:30-68) with fixed-shape jnp math:
 
 - rboxes are (cx, cy, w, h, theta[rad]); angle_version 'le90' normalizes
   theta to [-pi/2, pi/2) with w as the long edge after regularization,
-- rotated IoU runs Sutherland–Hodgman clipping with static 8-vertex buffers,
-  vmapped over box pairs (VPU-friendly: everything is masked arithmetic),
+- rotated IoU collects the intersection polygon's candidate vertices
+  (corners-inside + edge crossings) and reduces them with an angle-sorted
+  masked shoelace — fully vectorized over the (N, M) pair grid, no
+  per-pair control flow (VPU-friendly: everything is masked arithmetic),
 - `DeltaXYWHTRBoxCoder` implements proj_xy + edge_swap le90 semantics,
 - `MidpointOffsetCoder` implements the Oriented-RPN 6-param encoding
   (hbb deltas + top/right midpoint offsets) per the Oriented R-CNN paper.
@@ -107,94 +109,105 @@ def qbox_to_rbox(quad: Array) -> Array:
 
 
 # ---------------------------------------------------------------------------
-# rotated IoU via Sutherland–Hodgman clipping (static 8-vertex buffers)
+# rotated IoU (vectorized candidate-vertex intersection)
 # ---------------------------------------------------------------------------
 
-_MAXV = 8
+
+def _intersection_area(ca: Array, cb: Array) -> Array:
+    """Intersection area of convex CCW quads, fully vectorized.
+
+    ca, cb (..., 4, 2) broadcastable → (...).  Candidate-vertex method (the
+    approach of mmcv's CUDA box_iou_rotated_utils.hpp): the intersection
+    polygon's vertices are a subset of {corners of A inside B} ∪ {corners
+    of B inside A} ∪ {the 16 edge-edge crossings}.  The ≤24 candidates are
+    ordered by a static angle argsort around the valid-candidate centroid
+    (invalid candidates sort to the ring's tail) and reduced with a
+    masked-ring shoelace — no per-pair dynamic indexing, so the whole
+    (N, M) pair grid runs as plain VPU array math.  The previous
+    Sutherland–Hodgman formulation emitted vertices with `.at[cnt].set`
+    inside per-pair fori_loops; double-vmapped those lower to serialized
+    scatters (measured: 525 ms for ONE (128, 1000) grid → rotated test NMS
+    8.9 s; this path: ~ms)."""
+    lead = jnp.broadcast_shapes(ca.shape[:-2], cb.shape[:-2])
+    ca = jnp.broadcast_to(ca, lead + (4, 2))
+    cb = jnp.broadcast_to(cb, lead + (4, 2))
+    a1, a2 = ca, jnp.roll(ca, -1, axis=-2)
+    b1, b2 = cb, jnp.roll(cb, -1, axis=-2)
+
+    def inside(p, v1, v2):
+        """p (..., 4, 2) inside the CCW quad with edges v1→v2 (..., 4, 2)."""
+        pc = p[..., :, None, :]
+        e1 = v1[..., None, :, :]
+        e2 = v2[..., None, :, :]
+        s = ((e2[..., 0] - e1[..., 0]) * (pc[..., 1] - e1[..., 1])
+             - (e2[..., 1] - e1[..., 1]) * (pc[..., 0] - e1[..., 0]))
+        return jnp.all(s >= 0.0, axis=-1)                      # (..., 4)
+
+    a_in_b = inside(ca, b1, b2)
+    b_in_a = inside(cb, a1, a2)
+
+    # 16 segment-segment crossings: A edge p + t·r vs B edge q + u·s
+    p = a1[..., :, None, :]
+    r = (a2 - a1)[..., :, None, :]
+    q = b1[..., None, :, :]
+    s = (b2 - b1)[..., None, :, :]
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = q - p
+    safe = jnp.where(jnp.abs(rxs) < 1e-12, 1e-12, rxs)
+    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe
+    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe
+    x_ok = ((jnp.abs(rxs) > 1e-12) & (t >= 0.0) & (t <= 1.0)
+            & (u >= 0.0) & (u <= 1.0))                         # (..., 4, 4)
+    xpts = p + t[..., None] * r                                # (..., 4, 4, 2)
+
+    pts = jnp.concatenate(
+        [ca, cb, xpts.reshape(lead + (16, 2))], axis=-2)       # (..., 24, 2)
+    val = jnp.concatenate(
+        [a_in_b, b_in_a, x_ok.reshape(lead + (16,))], axis=-1)  # (..., 24)
+
+    cnt = jnp.sum(val, axis=-1)                                # (...,)
+    ctr = (jnp.sum(jnp.where(val[..., None], pts, 0.0), axis=-2)
+           / jnp.maximum(cnt, 1)[..., None])
+    ang = jnp.where(val, jnp.arctan2(pts[..., 1] - ctr[..., None, 1],
+                                     pts[..., 0] - ctr[..., None, 0]),
+                    jnp.inf)                                   # invalid last
+
+    # order by angle WITHOUT a sort: XLA sorts/gathers over a tiny minor
+    # axis with a huge batch count are a TPU slow path (argsort+gathers
+    # measured 4× the rest of this function combined).  rank = count of
+    # strictly-smaller entries (index tie-break) is an exact permutation;
+    # the reorder and the ring-closure "next" lookup become one-hot masked
+    # sums over the (24, 24) compare grid — pure VPU.
+    k = jnp.arange(24)
+    rank = jnp.sum((ang[..., None, :] < ang[..., :, None])
+                   | ((ang[..., None, :] == ang[..., :, None])
+                      & (k[None, :] < k[:, None])), axis=-1)   # (..., 24)
+    oh = rank[..., None, :] == k[:, None]                      # (..., r, i)
+    x = jnp.sum(jnp.where(oh, pts[..., None, :, 0], 0.0), axis=-1)
+    y = jnp.sum(jnp.where(oh, pts[..., None, :, 1], 0.0), axis=-1)
+    cntn = cnt[..., None, None]                                # (..., 1, 1)
+    nxt_oh = jnp.where(k[:, None] + 1 < cntn, k[None, :] == k[:, None] + 1,
+                       (k[None, :] == 0) & (k[:, None] < cntn))
+    xn = jnp.sum(jnp.where(nxt_oh, x[..., None, :], 0.0), axis=-1)
+    yn = jnp.sum(jnp.where(nxt_oh, y[..., None, :], 0.0), axis=-1)
+    area = 0.5 * jnp.abs(jnp.sum(x * yn - xn * y, axis=-1))
+    return jnp.where(cnt >= 3, area, 0.0)
 
 
-def _clip_edge(pts: Array, cnt: Array, a: Array, b: Array) -> Tuple[Array, Array]:
-    """Clip polygon (pts (_MAXV, 2), cnt valid) by half-plane left of a→b."""
-    ab = b - a
-
-    def side(p):
-        return ab[0] * (p[1] - a[1]) - ab[1] * (p[0] - a[0])
-
-    out = jnp.zeros_like(pts)
-    out_cnt = jnp.zeros((), jnp.int32)
-
-    def body(i, carry):
-        out, out_cnt = carry
-        cur = pts[i]
-        j = jnp.where(i + 1 >= cnt, 0, i + 1)
-        nxt = pts[j]
-        s_cur = side(cur)
-        s_nxt = side(nxt)
-        in_cur = s_cur >= 0
-        in_nxt = s_nxt >= 0
-        denom = s_cur - s_nxt
-        t = s_cur / jnp.where(jnp.abs(denom) < 1e-12,
-                              jnp.where(denom < 0, -1e-12, 1e-12), denom)
-        inter = cur + (nxt - cur) * t
-
-        def emit(out, out_cnt, p, do):
-            out = jnp.where(do, out.at[out_cnt % _MAXV].set(p), out)
-            return out, out_cnt + do.astype(jnp.int32)
-
-        active = i < cnt
-        out, out_cnt = emit(out, out_cnt, cur, active & in_cur)
-        out, out_cnt = emit(out, out_cnt, inter, active & (in_cur ^ in_nxt))
-        return out, out_cnt
-
-    out, out_cnt = jax.lax.fori_loop(0, _MAXV, body, (out, out_cnt))
-    return out, jnp.minimum(out_cnt, _MAXV)
-
-
-def _poly_area(pts: Array, cnt: Array) -> Array:
-    """Shoelace area of a fixed-buffer polygon."""
-    idx = jnp.arange(_MAXV)
-    nxt = jnp.where(idx + 1 >= cnt, 0, idx + 1)
-    x, y = pts[:, 0], pts[:, 1]
-    terms = x * y[nxt] - x[nxt] * y
-    terms = jnp.where(idx < cnt, terms, 0.0)
-    return jnp.abs(terms.sum()) * 0.5
-
-
-def _pair_intersection(c1: Array, c2: Array) -> Array:
-    """Intersection area of two boxes given their (4, 2) corners."""
-    pts = jnp.zeros((_MAXV, 2)).at[:4].set(c1)
-    cnt = jnp.asarray(4, jnp.int32)
-
-    def body(k, carry):
-        pts, cnt = carry
-        a = c2[k]
-        b = c2[(k + 1) % 4]
-        return _clip_edge(pts, cnt, a, b)
-
-    pts, cnt = jax.lax.fori_loop(0, 4, body, (pts, cnt))
-    return _poly_area(pts, cnt)
+def _ccw(c: Array) -> Array:
+    """Force counter-clockwise winding (shoelace-signed)."""
+    x, y = c[..., 0], c[..., 1]
+    area2 = jnp.sum(x * jnp.roll(y, -1, axis=-1)
+                    - jnp.roll(x, -1, axis=-1) * y, axis=-1)
+    return jnp.where(area2[..., None, None] < 0, c[..., ::-1, :], c)
 
 
 def rbox_overlaps(a: Array, b: Array, eps: float = 1e-6,
                   mode: str = "iou") -> Array:
-    """Pairwise rotated IoU: a (N, 5) vs b (M, 5) → (N, M).
-
-    The clip direction assumes counter-clockwise corners in a y-down image
-    frame; `rbox_to_corners` emits a consistent winding either way because
-    the shoelace area is taken as absolute and the half-plane test is
-    orientation-consistent per box."""
-    ca = rbox_to_corners(a)  # (N, 4, 2)
-    cb = rbox_to_corners(b)  # (M, 4, 2)
-
-    # ensure counter-clockwise winding for the half-plane test
-    def ccw(c):
-        x, y = c[..., 0], c[..., 1]
-        area2 = jnp.sum(x * jnp.roll(y, -1, axis=-1)
-                        - jnp.roll(x, -1, axis=-1) * y, axis=-1)
-        return jnp.where(area2[..., None, None] < 0, c[..., ::-1, :], c)
-
-    ca, cb = ccw(ca), ccw(cb)
-    inter = jax.vmap(lambda c1: jax.vmap(lambda c2: _pair_intersection(c1, c2))(cb))(ca)
+    """Pairwise rotated IoU: a (N, 5) vs b (M, 5) → (N, M)."""
+    ca = _ccw(rbox_to_corners(a))  # (N, 4, 2)
+    cb = _ccw(rbox_to_corners(b))  # (M, 4, 2)
+    inter = _intersection_area(ca[:, None], cb[None, :])
     area_a = (a[:, 2] * a[:, 3])[:, None]
     area_b = (b[:, 2] * b[:, 3])[None, :]
     if mode == "iof":
@@ -211,12 +224,6 @@ def quad_overlaps(a: Array, b: Array, eps: float = 1e-6) -> Array:
     ca = a.reshape(-1, 4, 2)
     cb = b.reshape(-1, 4, 2)
 
-    def ccw(c):
-        x, y = c[..., 0], c[..., 1]
-        area2 = jnp.sum(x * jnp.roll(y, -1, axis=-1)
-                        - jnp.roll(x, -1, axis=-1) * y, axis=-1)
-        return jnp.where(area2[..., None, None] < 0, c[..., ::-1, :], c)
-
     def shoelace(c):
         x, y = c[..., 0], c[..., 1]
         return 0.5 * jnp.abs(jnp.sum(
@@ -225,9 +232,7 @@ def quad_overlaps(a: Array, b: Array, eps: float = 1e-6) -> Array:
 
     area_a = shoelace(ca)[:, None]
     area_b = shoelace(cb)[None, :]
-    ca, cb = ccw(ca), ccw(cb)
-    inter = jax.vmap(lambda c1: jax.vmap(
-        lambda c2: _pair_intersection(c1, c2))(cb))(ca)
+    inter = _intersection_area(_ccw(ca)[:, None], _ccw(cb)[None, :])
     return inter / jnp.maximum(area_a + area_b - inter, eps)
 
 

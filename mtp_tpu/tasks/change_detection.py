@@ -96,7 +96,11 @@ class ChangeDetectionTask:
                         log_fn=log_fn, **ckpt_kw)
 
     def predict_fn(self):
-        """Jitted (variables, image_a, image_b) → per-pixel change map."""
+        """Jitted (variables, image_a, image_b) → per-pixel change map.
+        Memoized — a fresh jit per call would recompile on every periodic
+        validation."""
+        if getattr(self, "_predict", None) is not None:
+            return self._predict
         model = self.model
 
         @jax.jit
@@ -105,6 +109,7 @@ class ChangeDetectionTask:
                                  deterministic=True)
             return resize_bilinear(logits, a.shape[1:3]).argmax(-1)
 
+        self._predict = predict
         return predict
 
     def evaluate(self, state: TrainState,

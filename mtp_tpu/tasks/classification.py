@@ -88,9 +88,16 @@ class ClassificationTask:
                  data: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:
         model = self.model
 
-        @jax.jit
-        def fwd(params, images):
-            return model.apply({"params": params}, images, deterministic=True)
+        # memoized: a fresh @jax.jit closure per evaluate() call would
+        # recompile on every periodic validation (minutes on the remote
+        # compile server)
+        if getattr(self, "_eval_fwd", None) is None:
+            @jax.jit
+            def fwd(params, images):
+                return model.apply({"params": params}, images,
+                                   deterministic=True)
+            self._eval_fwd = fwd
+        fwd = self._eval_fwd
 
         tot, hits = 0, {"top1": 0.0, "top5": 0.0}
         for batch in data:

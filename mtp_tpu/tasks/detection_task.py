@@ -110,6 +110,10 @@ class DetectionTask:
 
     # -- eval -----------------------------------------------------------------
     def predict_fn(self):
+        """Memoized — a fresh jit per call would recompile on every
+        periodic validation."""
+        if getattr(self, "_predict", None) is not None:
+            return self._predict
         model = self.model
         anchors = self.anchors
         head = self.head
@@ -122,6 +126,7 @@ class DetectionTask:
             return detection_predict(model, {"params": params}, images,
                                      anchors)
 
+        self._predict = predict
         return predict
 
     def evaluate(self, state: TrainState,

@@ -148,12 +148,19 @@ class MultiTaskPretrainTask:
         model = self.model
         anchors = self.anchors
 
-        from functools import partial
+        # memoized: a fresh jit per evaluate() call would recompile all
+        # three per-dataset predict programs on every periodic validation
+        # (measured: ~500 s of recompiles per validation on the remote
+        # compile server)
+        if getattr(self, "_predict", None) is None:
+            from functools import partial
 
-        @partial(jax.jit, static_argnums=(2,))
-        def predict(variables, images, d: int):
-            return model.apply(variables, images, d, anchors,
-                               method=MultiTaskPretrainModel.predict)
+            @partial(jax.jit, static_argnums=(2,))
+            def predict(variables, images, d: int):
+                return model.apply(variables, images, d, anchors,
+                                   method=MultiTaskPretrainModel.predict)
+            self._predict = predict
+        predict = self._predict
 
         variables = {"params": state.params}
         if state.batch_stats:

@@ -91,10 +91,17 @@ class SegmentationTask:
 
     # -- inference ----------------------------------------------------------
     def predict_fn(self, slide: Optional[SlideConfig] = None):
-        """Jitted (variables, images) → per-pixel class predictions."""
+        """Jitted (variables, images) → per-pixel class predictions.
+        Memoized per slide config — a fresh jit per call would recompile on
+        every periodic validation."""
         model = self.model
         slide = slide or self.cfg.slide
         num_classes = self.cfg.num_classes
+        cache = getattr(self, "_predict_cache", None)
+        if cache is None:
+            cache = self._predict_cache = {}
+        if slide in cache:
+            return cache[slide]
 
         def apply_crop(variables, tile):
             out = model.apply(variables, tile, train=False, deterministic=True)
@@ -109,6 +116,7 @@ class SegmentationTask:
                                          images, num_classes, slide)
             return logits.argmax(-1)
 
+        cache[slide] = predict
         return predict
 
     def evaluate(self, state: TrainState,
