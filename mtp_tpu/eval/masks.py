@@ -84,3 +84,63 @@ def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, height: int,
         patch = top * (1 - y1f)[:, None] + bot * y1f[:, None]
         out[i, y1i:y2i, x1i:x2i] = (patch >= thr).astype(np.uint8)
     return out
+
+
+def paste_masks_device(mask_probs, boxes, height: int, width: int,
+                       thr: float = 0.5):
+    """Device-side `paste_masks` (same `_do_paste_mask` grid-sample
+    semantics, instance_segmentation/mask_head.py:401): one batched
+    bilinear resample on the chip instead of the per-instance numpy loop.
+
+    NOT used by the eval loops on this relay-attached chip: measured
+    SLOWER end-to-end than the numpy loop (tiny-source gathers at 40M
+    points + a full-resolution D2H per batch outweigh the host loop,
+    which only touches each box's extent — PERF.md).  Kept for
+    direct-attached deployments where the transfer economics differ.
+
+    mask_probs (N, m, m) jnp/np in [0,1]; boxes (N, 4) → uint8 jax array
+    (N, height, width); fetch with np.asarray at the call site."""
+    return _paste_jit(mask_probs, boxes, height, width, thr)
+
+
+def _paste_impl(mask_probs, boxes, height: int, width: int, thr: float):
+    import jax.numpy as jnp
+
+    from mtp_tpu.ops.grid_sample import grid_sample
+
+    mask_probs = jnp.asarray(mask_probs, jnp.float32)
+    boxes = jnp.asarray(boxes, jnp.float32)
+    N = mask_probs.shape[0]
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    # output-pixel centers mapped into [0, 1] box coords, then to the
+    # [-1, 1] align_corners=False grid; outside-box pixels fall outside
+    # [-1, 1] and zero-pad exactly like the numpy path
+    gy = ((jnp.arange(height, dtype=jnp.float32)[None, :] + 0.5
+           - y1[:, None]) / jnp.maximum(y2 - y1, 1e-6)[:, None]) * 2.0 - 1.0
+    gx = ((jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+           - x1[:, None]) / jnp.maximum(x2 - x1, 1e-6)[:, None]) * 2.0 - 1.0
+    grid = jnp.stack(
+        [jnp.broadcast_to(gx[:, None, :], (N, height, width)),
+         jnp.broadcast_to(gy[:, :, None], (N, height, width))], axis=-1)
+    out = grid_sample(mask_probs[..., None], grid, align_corners=False,
+                      padding_mode="zeros")[..., 0]
+    return (out > thr).astype(jnp.uint8)
+
+
+def _lazy_paste_jit():
+    import functools
+
+    import jax
+    return functools.partial(jax.jit, static_argnums=(2, 3, 4))(_paste_impl)
+
+
+class _PasteJit:
+    _fn = None
+
+    def __call__(self, *a):
+        if _PasteJit._fn is None:
+            _PasteJit._fn = _lazy_paste_jit()
+        return _PasteJit._fn(*a)
+
+
+_paste_jit = _PasteJit()

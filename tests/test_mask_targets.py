@@ -80,3 +80,24 @@ def test_collate_emits_crops_by_default():
     b2 = collate_detection([s], max_gts=4, with_masks=True,
                            mask_mode="stride")
     assert "gt_masks" in b2 and b2["gt_masks"].shape == (1, 4, 16, 16)
+
+
+def test_paste_masks_device_matches_numpy():
+    """The batched device paste must reproduce the numpy reference
+    (itself oracle-verified vs _do_paste_mask)."""
+    import numpy as np
+    from mtp_tpu.eval.masks import paste_masks, paste_masks_device
+
+    rng = np.random.default_rng(0)
+    N, m, H, W = 7, 14, 64, 80
+    probs = rng.uniform(0, 1, (N, m, m)).astype(np.float32)
+    x1 = rng.uniform(-5, 60, N)
+    y1 = rng.uniform(-5, 45, N)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(4, 30, N),
+                      y1 + rng.uniform(4, 30, N)], -1).astype(np.float32)
+    ref = paste_masks(probs, boxes, H, W)
+    out = np.asarray(paste_masks_device(probs, boxes, H, W))
+    # bilinear values straddling the 0.5 threshold can flip on fp noise —
+    # allow a sliver of disagreeing pixels
+    mismatch = (ref != out).mean()
+    assert mismatch < 0.002, mismatch
