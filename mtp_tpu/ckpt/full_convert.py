@@ -12,7 +12,16 @@ be evaluated end to end (tools/validate.py):
   (head.fc),
 - change detection: opencd `SiamEncoderDecoder` with `UNetHead`
   (decode_head.blocks.{i}.conv{1,2}.{0=conv,1=bn}, conv_seg;
-  Change_Detection/opencd/models/decode_heads/unet_head.py:22-62,210).
+  Change_Detection/opencd/models/decode_heads/unet_head.py:22-62,210),
+- horizontal detection: mmdet `FasterRCNN` (neck.lateral_convs/fpn_convs,
+  rpn_head.rpn_{conv,cls,reg}, roi_head.bbox_head.{shared_fcs,fc_cls,fc_reg};
+  RS_Tasks_Finetune/Horizontal_Detection/configs/mtp/dior/
+  faster_rcnn_rvsa_l_800_mae_mtp_dior.py:220-248) and `RetinaNet`
+  (bbox_head.{cls,reg}_convs + retina_{cls,reg};
+  .../xview/retinanet_rvsa_l_416_mae_mtp_xview.py:220-268),
+- rotated detection: mmrotate `OrientedRCNN` — same key families as
+  FasterRCNN (OrientedRPNHead keeps the rpn_{conv,cls,reg} names with 6
+  deltas/anchor; RotatedShared2FCBBoxHead keeps shared_fcs/fc_cls/fc_reg).
 
 Outputs are `{"params": ..., "batch_stats": ...}` variable dicts matching
 `models/{segmentor,classifier,change_detection}.py` module naming.
@@ -98,6 +107,83 @@ def convert_linear_head(sd: Dict[str, np.ndarray],
                    "bias": np.asarray(sd[prefix + "fc.bias"], np.float32)}}
 
 
+def _dense(sd, src, params, dst):
+    """torch nn.Linear → flax Dense (weight (out, in) → kernel (in, out))."""
+    _put(params, dst + "/kernel", _t(sd[src + ".weight"]).T)
+    _put(params, dst + "/bias", sd[src + ".bias"])
+
+
+def _dense_hwc(sd, src, params, dst, spatial: int, channels: int):
+    """Linear whose torch input is a CHW-flattened RoI feature, converted for
+    our HWC-flattened trunk (heads/roi_heads.Shared2FCTrunk reshapes
+    (R, s, s, C) row-major): (out, C·s·s) → (s·s·C, out)."""
+    w = _t(sd[src + ".weight"])
+    out = w.shape[0]
+    w = w.reshape(out, channels, spatial, spatial).transpose(2, 3, 1, 0)
+    _put(params, dst + "/kernel", w.reshape(spatial * spatial * channels, out))
+    _put(params, dst + "/bias", sd[src + ".bias"])
+
+
+def convert_fpn_neck(sd: Dict[str, np.ndarray], prefix: str = "neck.",
+                     n_lateral: int = 4, n_fpn: Optional[int] = None) -> dict:
+    """mmdet FPN state_dict → heads/fpn.FPN params.  The detection necks
+    carry no norm (norm_cfg unset in every mtp config): lateral_convs.{i}.conv
+    → lateral_{i}, fpn_convs.{i}.conv → fpn_conv_{i}.  n_fpn counts ALL
+    fpn_convs incl. 'on_input' extra levels (RetinaNet: 3 lateral + 5 fpn)."""
+    p = {}
+    g = lambda k: prefix + k
+    for i in range(n_lateral):
+        _conv(sd, g(f"lateral_convs.{i}.conv"), p, f"lateral_{i}")
+    for i in range(n_fpn if n_fpn is not None else n_lateral):
+        _conv(sd, g(f"fpn_convs.{i}.conv"), p, f"fpn_conv_{i}")
+    return p
+
+
+def convert_rpn_head(sd: Dict[str, np.ndarray],
+                     prefix: str = "rpn_head.") -> dict:
+    """mmdet RPNHead / mmrotate OrientedRPNHead → heads/rpn.RPNHead params
+    (rpn_conv 3x3 shared, rpn_cls/rpn_reg 1x1; same names both families —
+    reference faster_rcnn_..._dior.py:226-240, oriented_rcnn rpn_head)."""
+    p = {}
+    for k in ("rpn_conv", "rpn_cls", "rpn_reg"):
+        _conv(sd, prefix + k, p, k)
+    return p
+
+
+def convert_bbox_head(sd: Dict[str, np.ndarray],
+                      prefix: str = "roi_head.bbox_head.",
+                      roi_size: int = 7) -> Tuple[dict, dict, dict]:
+    """mmdet Shared2FCBBoxHead → (trunk params, fc_cls, fc_reg).
+
+    shared_fcs.0 consumes the CHW-flattened RoIAlign output in torch; our
+    trunk flattens HWC, so its kernel is spatially permuted on conversion
+    (channel count derived from the weight's in_features).
+    shared_fcs.1 / fc_cls / fc_reg operate on feature vectors (plain T)."""
+    p_trunk, p_cls, p_reg = {}, {}, {}
+    g = lambda k: prefix + k
+    channels = _t(sd[g("shared_fcs.0.weight")]).shape[1] // (roi_size ** 2)
+    _dense_hwc(sd, g("shared_fcs.0"), p_trunk, "fc1", roi_size, channels)
+    _dense(sd, g("shared_fcs.1"), p_trunk, "fc2")
+    _dense(sd, g("fc_cls"), p_cls, ".")
+    _dense(sd, g("fc_reg"), p_reg, ".")
+    return p_trunk, p_cls["."], p_reg["."]
+
+
+def convert_retina_head(sd: Dict[str, np.ndarray],
+                        prefix: str = "bbox_head.",
+                        stacked_convs: int = 4) -> dict:
+    """mmdet RetinaHead → models/retinanet.RetinaNet top-level params
+    (cls_convs.{i}.conv → cls_conv_{i}, retina_cls/retina_reg 3x3)."""
+    p = {}
+    g = lambda k: prefix + k
+    for i in range(stacked_convs):
+        _conv(sd, g(f"cls_convs.{i}.conv"), p, f"cls_conv_{i}")
+        _conv(sd, g(f"reg_convs.{i}.conv"), p, f"reg_conv_{i}")
+    _conv(sd, g("retina_cls"), p, "retina_cls")
+    _conv(sd, g("retina_reg"), p, "retina_reg")
+    return p
+
+
 def _split_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
@@ -105,16 +191,39 @@ def _split_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarra
 def convert_full_checkpoint(path: str, task: str, cfg: BackboneConfig,
                             grid: Optional[Tuple[int, int]] = None) -> dict:
     """Released finetuned checkpoint → flax variables for the matching task
-    model.  task: segmentation | classification | change_detection.
+    model.  task: segmentation | classification | change_detection |
+    detection_h | detection_r (the detection tasks auto-detect RetinaHead vs
+    two-stage from the key inventory).
 
-    The torch tree is `backbone.* + (decode_head|head).*` (mm convention);
+    The torch tree is `backbone.* + head/neck/rpn/roi keys` (mm convention);
     the flax tree nests under the module names used by models/*.py.
     """
     sd = load_torch_checkpoint(path)
     bb_sd = _split_prefix(sd, "backbone.")
-    backbone = convert_backbone(bb_sd, cfg, grid)
-    if cfg.scan:
-        backbone = to_scan_layout(backbone, cfg.depth, cfg.interval)
+    if cfg.name.startswith("internimage"):
+        from mtp_tpu.ckpt.torch_convert import (convert_internimage,
+                                                to_stage_scan_layout)
+        depths = (5, 5, 24, 5) if cfg.name.endswith("xl") else (4, 4, 18, 4)
+        backbone = convert_internimage(bb_sd, depths)
+        if cfg.scan:
+            backbone = to_stage_scan_layout(backbone, depths)
+    else:
+        backbone = convert_backbone(bb_sd, cfg, grid)
+        if cfg.scan:
+            backbone = to_scan_layout(backbone, cfg.depth, cfg.interval)
+
+    if task in ("detection_h", "detection_r"):
+        if "bbox_head.retina_cls.weight" in sd:
+            params = {"backbone": backbone,
+                      "neck": convert_fpn_neck(sd, n_lateral=3, n_fpn=5),
+                      **convert_retina_head(sd)}
+            return {"params": params, "batch_stats": {}}
+        trunk, fc_cls, fc_reg = convert_bbox_head(sd)
+        params = {"backbone": backbone,
+                  "neck": convert_fpn_neck(sd),
+                  "rpn_head": convert_rpn_head(sd),
+                  "bbox_trunk": trunk, "fc_cls": fc_cls, "fc_reg": fc_reg}
+        return {"params": params, "batch_stats": {}}
 
     if task == "segmentation":
         head_p, head_s = convert_upernet_head(sd)

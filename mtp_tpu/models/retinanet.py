@@ -72,7 +72,11 @@ class RetinaNet(nn.Module):
         d = self.det
         A = len(d.ratios) * d.scales_per_octave
         self.backbone = build_backbone(self.backbone_cfg)
-        self.neck = FPN(d.feat_channels, num_outs=5, dtype=dtype, name="neck")
+        # reference neck (retinanet_rvsa_l_416_mae_mtp_xview.py:220-226):
+        # start_level=1 (strides 8..64) + 2 learned extra convs on the last
+        # backbone input (strides 64→128), giving strides 8..128
+        self.neck = FPN(d.feat_channels, num_outs=5, start_level=1,
+                        add_extra_convs="on_input", dtype=dtype, name="neck")
         self.cls_convs = [nn.Conv(d.feat_channels, (3, 3), padding=1,
                                   dtype=dtype, name=f"cls_conv_{i}")
                           for i in range(d.stacked_convs)]
@@ -95,9 +99,6 @@ class RetinaNet(nn.Module):
         shifted one level up with two extra downsampled levels."""
         d = self.det
         feats = self.neck(self.backbone(x, deterministic))
-        # neck outputs strides 4..64; drop the stride-4 level and add one more
-        # max-pooled level to get 8..128 (mmdet start_level=1 + extra level)
-        feats = list(feats[1:]) + [nn.max_pool(feats[-1], (1, 1), strides=(2, 2))]
         cls_out, reg_out = [], []
         B = x.shape[0]
         for f in feats:

@@ -316,3 +316,120 @@ def test_validate_runbook_end_to_end(tmp_path):
     import json
     rec = json.loads(out.read_text())
     assert rec["metric"] == "top1" and "delta" in rec
+
+
+# ---------------------------------------------------------------------------
+# detection (round-4: VERDICT r3 item 2 — released Faster R-CNN / Oriented
+# R-CNN / RetinaNet finetuned checkpoints must convert end to end)
+# ---------------------------------------------------------------------------
+
+def _fpn_neck_sd(rng, in_ch, ch, n_lateral=4, n_fpn=None, extra_in=None):
+    """mmdet FPN key inventory (no norm in any mtp detection config)."""
+    import torch
+
+    t = lambda *s: torch.from_numpy(rng.standard_normal(s).astype("float32") * 0.1)
+    sd = {}
+    for i in range(n_lateral):
+        sd[f"neck.lateral_convs.{i}.conv.weight"] = t(ch, in_ch, 1, 1)
+        sd[f"neck.lateral_convs.{i}.conv.bias"] = t(ch)
+    n_fpn = n_fpn if n_fpn is not None else n_lateral
+    for i in range(n_fpn):
+        cin = ch if i < n_lateral else (extra_in if i == n_lateral else ch)
+        sd[f"neck.fpn_convs.{i}.conv.weight"] = t(ch, cin, 3, 3)
+        sd[f"neck.fpn_convs.{i}.conv.bias"] = t(ch)
+    return sd
+
+
+def _two_stage_sd(rng, in_ch, ch, num_classes, delta_dim=4,
+                  reg_class_agnostic=False):
+    import torch
+
+    t = lambda *s: torch.from_numpy(rng.standard_normal(s).astype("float32") * 0.1)
+    sd = _fpn_neck_sd(rng, in_ch, ch)
+    sd["rpn_head.rpn_conv.weight"] = t(ch, ch, 3, 3)
+    sd["rpn_head.rpn_conv.bias"] = t(ch)
+    sd["rpn_head.rpn_cls.weight"] = t(3, ch, 1, 1)
+    sd["rpn_head.rpn_cls.bias"] = t(3)
+    sd["rpn_head.rpn_reg.weight"] = t(3 * delta_dim, ch, 1, 1)
+    sd["rpn_head.rpn_reg.bias"] = t(3 * delta_dim)
+    sd["roi_head.bbox_head.shared_fcs.0.weight"] = t(1024, ch * 49)
+    sd["roi_head.bbox_head.shared_fcs.0.bias"] = t(1024)
+    sd["roi_head.bbox_head.shared_fcs.1.weight"] = t(1024, 1024)
+    sd["roi_head.bbox_head.shared_fcs.1.bias"] = t(1024)
+    sd["roi_head.bbox_head.fc_cls.weight"] = t(num_classes + 1, 1024)
+    sd["roi_head.bbox_head.fc_cls.bias"] = t(num_classes + 1)
+    reg_dim = 5 if delta_dim == 6 else 4
+    ro = reg_dim if reg_class_agnostic else reg_dim * num_classes
+    sd["roi_head.bbox_head.fc_reg.weight"] = t(ro, 1024)
+    sd["roi_head.bbox_head.fc_reg.bias"] = t(ro)
+    return sd
+
+
+def test_faster_rcnn_full_checkpoint_golden(tmp_path):
+    from mtp_tpu.ckpt.full_convert import convert_full_checkpoint
+    from mtp_tpu.models.detector import DetConfig, TwoStageDetector
+
+    rng = np.random.default_rng(4)
+    cfg = _tiny_cfg()
+    sd = _two_stage_sd(rng, in_ch=32, ch=8, num_classes=5)
+    path = _save_ckpt(tmp_path, sd, bb_sd=_rvsa_torch_sd(cfg, rng))
+    model = TwoStageDetector(cfg, DetConfig(num_classes=5), fpn_channels=8)
+    want = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    got = convert_full_checkpoint(path, "detection_h", cfg)
+    _assert_same_tree(got["params"], jax.tree.map(np.asarray, want["params"]))
+
+    # numeric oracle for the CHW→HWC permute of shared_fcs.0: the converted
+    # fc1 on an HWC-flattened RoI must equal the torch linear on the same
+    # RoI flattened CHW
+    feat = rng.standard_normal((2, 7, 7, 8)).astype(np.float32)
+    w = np.asarray(sd["roi_head.bbox_head.shared_fcs.0.weight"])
+    b = np.asarray(sd["roi_head.bbox_head.shared_fcs.0.bias"])
+    ref = feat.transpose(0, 3, 1, 2).reshape(2, -1) @ w.T + b
+    k = got["params"]["bbox_trunk"]["fc1"]["kernel"]
+    ours = feat.reshape(2, -1) @ k + got["params"]["bbox_trunk"]["fc1"]["bias"]
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-5)
+
+
+def test_oriented_rcnn_full_checkpoint_golden(tmp_path):
+    from mtp_tpu.ckpt.full_convert import convert_full_checkpoint
+    from mtp_tpu.models.detector import TwoStageDetector, oriented_rcnn_cfg
+
+    rng = np.random.default_rng(5)
+    cfg = _tiny_cfg()
+    sd = _two_stage_sd(rng, in_ch=32, ch=8, num_classes=5, delta_dim=6,
+                       reg_class_agnostic=True)
+    path = _save_ckpt(tmp_path, sd, bb_sd=_rvsa_torch_sd(cfg, rng))
+    model = TwoStageDetector(cfg, oriented_rcnn_cfg(5), fpn_channels=8)
+    want = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    got = convert_full_checkpoint(path, "detection_r", cfg)
+    _assert_same_tree(got["params"], jax.tree.map(np.asarray, want["params"]))
+
+
+def test_retinanet_full_checkpoint_golden(tmp_path):
+    import torch
+
+    from mtp_tpu.ckpt.full_convert import convert_full_checkpoint
+    from mtp_tpu.models.retinanet import RetinaConfig, RetinaNet
+
+    rng = np.random.default_rng(6)
+    cfg = _tiny_cfg()
+    t = lambda *s: torch.from_numpy(rng.standard_normal(s).astype("float32") * 0.1)
+    # start_level=1 + add_extra_convs='on_input': 3 laterals, fpn_convs.3
+    # consumes the raw backbone feature (in_ch), fpn_convs.4 the previous
+    # extra level (ch)
+    sd = _fpn_neck_sd(rng, in_ch=32, ch=8, n_lateral=3, n_fpn=5, extra_in=32)
+    A = 9
+    K = 4
+    for i in range(4):
+        for br in ("cls", "reg"):
+            sd[f"bbox_head.{br}_convs.{i}.conv.weight"] = t(8, 8, 3, 3)
+            sd[f"bbox_head.{br}_convs.{i}.conv.bias"] = t(8)
+    sd["bbox_head.retina_cls.weight"] = t(A * K, 8, 3, 3)
+    sd["bbox_head.retina_cls.bias"] = t(A * K)
+    sd["bbox_head.retina_reg.weight"] = t(A * 4, 8, 3, 3)
+    sd["bbox_head.retina_reg.bias"] = t(A * 4)
+    path = _save_ckpt(tmp_path, sd, bb_sd=_rvsa_torch_sd(cfg, rng))
+    model = RetinaNet(cfg, RetinaConfig(num_classes=K, feat_channels=8))
+    want = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    got = convert_full_checkpoint(path, "detection_h", cfg)
+    _assert_same_tree(got["params"], jax.tree.map(np.asarray, want["params"]))

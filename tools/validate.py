@@ -8,7 +8,8 @@ are mounted:
 
 accepts either a released FINETUNED torch checkpoint (.pth — converted in
 full via ckpt/full_convert for classification / segmentation / change
-detection), our own orbax checkpoint dir, or an encoder .npz; runs the
+detection / horizontal & rotated detection), our own orbax checkpoint dir,
+or an encoder .npz; runs the
 recipe's evaluation protocol via cli.test, and prints the metric next to
 the reference's published number (BASELINE.md accuracy table,
 reference Readme.md:137-193) with the delta.
@@ -64,7 +65,8 @@ BASELINES = {
     "oriented_rcnn_rvsa_l_800_mae_mtp_diorr": ("mAP", 74.54),
 }
 
-_FULL_CONVERT_TASKS = {"classification", "segmentation", "change_detection"}
+_FULL_CONVERT_TASKS = {"classification", "segmentation", "change_detection",
+                       "detection_h", "detection_r"}
 
 
 def main(argv=None):
@@ -89,13 +91,11 @@ def main(argv=None):
 
     ckpt = args.ckpt
     if ckpt.endswith((".pth", ".pt", ".bin")):
-        kind = ("change_detection" if task_kind == "change_detection" else
-                "segmentation" if task_kind == "segmentation" else
-                "classification" if task_kind == "classification" else None)
-        if kind not in _FULL_CONVERT_TASKS:
+        kind = task_kind if task_kind in _FULL_CONVERT_TASKS else None
+        if kind is None:
             raise SystemExit(
                 f"full torch-checkpoint conversion for task '{task_kind}' is "
-                "not wired yet — convert the backbone with cli.convert and "
+                "not wired — convert the backbone with cli.convert and "
                 "finetune, or pass an orbax/npz checkpoint")
         import tempfile
 
