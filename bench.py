@@ -101,11 +101,12 @@ def bench_pretrain():
         # reference MTP also pretrains InternImage-XL (models.py:92-104)
         from mtp_tpu.models.backbones import internimage_backbone_config
         from mtp_tpu.models.internimage import (internimage_flops,
-                                                internimage_xl)
+                                                internimage_t, internimage_xl)
         bb = internimage_backbone_config(
             name, img_size=size, dtype="bfloat16", scan=True, remat=remat,
             pallas_attn=pallas, drop_path_rate=0.2)
-        flops_of = lambda s: internimage_flops(internimage_xl(), s)
+        icfg = internimage_t() if name.endswith("_t") else internimage_xl()
+        flops_of = lambda s: internimage_flops(icfg, s)
     else:
         bb = BACKBONES[name](
             img_size=size, dtype="bfloat16", scan=True, remat=remat,

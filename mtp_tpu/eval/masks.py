@@ -124,7 +124,7 @@ def _paste_impl(mask_probs, boxes, height: int, width: int, thr: float):
          jnp.broadcast_to(gy[:, :, None], (N, height, width))], axis=-1)
     out = grid_sample(mask_probs[..., None], grid, align_corners=False,
                       padding_mode="zeros")[..., 0]
-    return (out > thr).astype(jnp.uint8)
+    return (out >= thr).astype(jnp.uint8)
 
 
 def _lazy_paste_jit():

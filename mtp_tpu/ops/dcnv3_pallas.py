@@ -384,8 +384,14 @@ def _pad_inputs(img, py, px, m, CH):
     Tp = min(_TP, _round_up(HWo, 8))
     HWo_p = _round_up(HWo, Tp)
     pad2 = lambda t, n: jnp.pad(t, ((0, 0), (0, n - t.shape[1]), (0, 0)))
-    return (pad2(img, HWq), pad2(py.astype(jnp.float32), HWo_p),
-            pad2(px.astype(jnp.float32), HWo_p),
+    # py/px pad by edge-replication (in-range coordinates) so the final
+    # partial tile's _tile_col_range stays tight — zero-filled rows would
+    # stretch every min/max window to row -1 and defeat the chunk skip
+    # (masks m still zero-pad: padded rows contribute nothing)
+    pad2e = lambda t, n: jnp.pad(t, ((0, 0), (0, n - t.shape[1]), (0, 0)),
+                                 mode="edge")
+    return (pad2(img, HWq), pad2e(py.astype(jnp.float32), HWo_p),
+            pad2e(px.astype(jnp.float32), HWo_p),
             pad2(m.astype(jnp.float32), HWo_p), Tp, HWo_p // Tp)
 
 

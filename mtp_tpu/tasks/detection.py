@@ -11,9 +11,13 @@ batch dict:
   gt_boxes  (B, G, 4) hbox  or (B, G, 5) rbox when rotated
   gt_labels (B, G) int32
   gt_valid  (B, G) bool
-  gt_masks  (B, G, H/4, W/4) float binary (only when with_mask; rasterized at
-            stride 4 by the data pipeline — mask targets are RoIAligned from
-            this map instead of full-res crops, a documented deviation)
+  gt_mask_crops (B, G, 56, 56) float binary (only when with_mask; the
+            DEFAULT pipeline output — box-aligned crops resampled per gt box
+            like the reference's mask_target crop+resize,
+            collate_detection(mask_mode="crop"), data/loader.py), or
+  gt_masks  (B, G, H/s, W/s) stride-s rasterized maps (mask_mode="stride",
+            the fallback: targets are RoIAligned from this map — a
+            documented deviation, lower-fidelity at small boxes)
 
 TPU deviations documented inline: per-image loss averaging (vs global
 avg_factor), global top-k pre-NMS, capped multiclass candidates.
