@@ -182,3 +182,137 @@ def test_reference_internimage_forward_parity(post_norm):
         assert a.shape == b.shape, (i, a.shape, b.shape)
         np.testing.assert_allclose(np.asarray(a), b, atol=5e-4, rtol=1e-3,
                                    err_msg=f"pyramid level {i}")
+
+
+# ---------------------------------------------------------------------------
+# BACKWARD parity (round-4: VERDICT r3 item 5 — training correctness rode on
+# forward parity + loss-decreases; these pin per-parameter grads against
+# torch autograd through the reference modules)
+# ---------------------------------------------------------------------------
+#
+# Method: the converter's weight transforms (transpose / reshape / split) are
+# LINEAR, so torch autograd grads — which form a state_dict-shaped tree —
+# pass through the same converter and must equal our jax.grad tree leaf for
+# leaf.  Loss = sum over pyramid levels of <feats, R_l> with fixed random
+# projections R_l (discriminative: every output element gets its own weight).
+
+
+def _proj_loss_weights(shapes, seed):
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal(s).astype(np.float32) for s in shapes]
+
+
+def _tree_compare_grads(got, want, atol, rtol, where=""):
+    assert set(got) == set(want), (where, sorted(set(got) ^ set(want)))
+    for k in got:
+        if isinstance(want[k], dict):
+            _tree_compare_grads(got[k], want[k], atol, rtol, where + "/" + k)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]), atol=atol, rtol=rtol,
+                err_msg=where + "/" + k)
+
+
+def test_reference_rvsa_backward_parity():
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from mtp_tpu.ckpt.torch_convert import convert_backbone
+    from mtp_tpu.models.vit_rvsa import ViTRVSA
+    from mtp_tpu.utils.config import BackboneConfig
+
+    ref = _load_reference_rvsa()
+    torch.manual_seed(0)
+    tm = ref.ViT_Win_RVSA_V3_WSZ7(
+        img_size=112, patch_size=16, embed_dim=32, depth=4, num_heads=2,
+        mlp_ratio=4, qkv_bias=True, use_abs_pos_emb=True,
+        use_rel_pos_bias=True, interval=3, out_indices=[0, 1, 2, 3])
+    tm.eval()  # grads still flow; eval only disables droppath/dropout
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+
+    x = np.random.default_rng(1).standard_normal((2, 112, 112, 3)).astype(
+        np.float32)
+    feats = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    Rs = _proj_loss_weights(
+        [tuple(f.permute(0, 2, 3, 1).shape) for f in feats], seed=7)
+    loss = sum((f.permute(0, 2, 3, 1) * torch.from_numpy(R)).sum()
+               for f, R in zip(feats, Rs))
+    loss.backward()
+
+    sd_grads = {k: v.grad.detach().numpy()
+                for k, v in tm.named_parameters() if v.grad is not None}
+    cfg = BackboneConfig(img_size=112, patch_size=16, embed_dim=32, depth=4,
+                         num_heads=2, interval=3, out_indices=(0, 1, 2, 3),
+                         dtype="float32")
+    want = convert_backbone(sd_grads, cfg)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_backbone(sd, cfg)
+    model = ViTRVSA(cfg)
+
+    def loss_fn(p):
+        outs = model.apply({"params": p}, jnp.asarray(x))
+        return sum((o * jnp.asarray(R)).sum() for o, R in zip(outs, Rs))
+
+    got = jax.jit(jax.grad(loss_fn))(params)
+    # the torch module's unused `norm.*` never gets grads; the converter
+    # skips it in both trees, so structures match exactly
+    scale = float(np.abs(loss.item())) if loss.item() else 1.0
+    del scale
+    _tree_compare_grads(jax.tree.map(np.asarray, got), want,
+                        atol=5e-3, rtol=2e-2)
+
+
+def test_reference_internimage_backward_parity():
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from mtp_tpu.ckpt.torch_convert import convert_internimage
+    from mtp_tpu.models.internimage import InternImage, InternImageConfig
+
+    _install_stubs()
+    from backbone.intern_image import InternImage as RefInternImage
+
+    torch.manual_seed(0)
+    depths, groups, ch = (2, 2), (1, 2), 16
+    tm = RefInternImage(core_op="DCNv3_pytorch", channels=ch,
+                        depths=list(depths), groups=list(groups),
+                        mlp_ratio=4., drop_path_rate=0.0,
+                        layer_scale=1e-5, offset_scale=2.0,
+                        post_norm=True, out_indices=(0, 1))
+    tm.eval()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+
+    x = np.random.default_rng(2).standard_normal((2, 32, 32, 3)).astype(
+        np.float32)
+    feats = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    Rs = _proj_loss_weights(
+        [tuple(f.permute(0, 2, 3, 1).shape) for f in feats], seed=8)
+    loss = sum((f.permute(0, 2, 3, 1) * torch.from_numpy(R)).sum()
+               for f, R in zip(feats, Rs))
+    loss.backward()
+
+    sd_grads = {k: v.grad.detach().numpy()
+                for k, v in tm.named_parameters() if v.grad is not None}
+    want = convert_internimage(sd_grads, depths)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_internimage(sd, depths)
+    cfg = InternImageConfig(channels=ch, depths=depths, groups=groups,
+                            mlp_ratio=4.0, drop_path_rate=0.0,
+                            layer_scale=1e-5, offset_scale=2.0,
+                            post_norm=True, out_indices=(0, 1),
+                            dtype="float32")
+    model = InternImage(cfg)
+
+    def loss_fn(p):
+        outs = model.apply({"params": p}, jnp.asarray(x))
+        return sum((o * jnp.asarray(R)).sum() for o, R in zip(outs, Rs))
+
+    got = jax.jit(jax.grad(loss_fn))(params)
+    _tree_compare_grads(jax.tree.map(np.asarray, got), want,
+                        atol=5e-3, rtol=2e-2)
