@@ -184,3 +184,50 @@ def test_flash_bf16():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels under the TP mesh (round-4: VERDICT r3 item 7 — TP shards
+# the head dimension the packed window kernel assumes contiguous; this pins
+# numeric equality of the pallas and jnp paths under model=2 sharding)
+# ---------------------------------------------------------------------------
+
+def test_pallas_attn_under_tp_mesh(monkeypatch):
+    """Scanned ViT forward with pallas_attn=True (interpret mode — Mosaic
+    can't lower on CPU) under a dp4×tp2 mesh must equal the jnp path on the
+    same params.  Covers both kernels: the packed window kernel (RVSA blocks,
+    49→64 tokens, pack=2) and the fused full-attention path."""
+    import dataclasses
+
+    from mtp_tpu.models.vit_rvsa import ViTRVSA
+    from mtp_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                       shard_params)
+    from mtp_tpu.utils.config import BackboneConfig, MeshConfig
+
+    monkeypatch.setenv("MTP_PALLAS_INTERPRET", "1")
+
+    cfg_j = BackboneConfig(img_size=112, patch_size=16, embed_dim=32,
+                           depth=4, num_heads=2, interval=2,
+                           out_indices=(0, 1, 2, 3), dtype="float32", scan=True,
+                           drop_path_rate=0.0, pallas_attn=False)
+    cfg_p = dataclasses.replace(cfg_j, pallas_attn=True)
+
+    x = np.random.default_rng(0).standard_normal((4, 112, 112, 3)).astype(
+        np.float32)
+    params = ViTRVSA(cfg_j).init(jax.random.PRNGKey(0), jnp.asarray(x))[
+        "params"]
+    ref = jax.jit(lambda p, x: ViTRVSA(cfg_j).apply({"params": p}, x))(
+        params, jnp.asarray(x))
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    sp = shard_params(mesh, params)
+    qkv = sp["block_groups"]["rvsa_0"]["attn"]["qkv"]["kernel"]
+    assert "model" in str(qkv.sharding.spec), "TP rules must shard qkv"
+    xs = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+
+    out = jax.jit(lambda p, x: ViTRVSA(cfg_p).apply({"params": p}, x))(
+        sp, xs)
+    for i, (a, b) in enumerate(zip(out, ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5,
+                                   err_msg=f"level {i}")
