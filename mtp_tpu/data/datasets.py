@@ -70,11 +70,28 @@ DIOR_CLASSES = (
 
 
 def imread(path: str) -> np.ndarray:
+    try:  # SIMD decode (the reference's mmcv imfrombytes is cv2 too)
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+    except ImportError:
+        pass
     from PIL import Image
     return np.asarray(Image.open(path).convert("RGB")).astype(np.float32)
 
 
 def imread_label(path: str) -> np.ndarray:
+    try:
+        import cv2
+        lbl = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if lbl is not None:
+            if lbl.ndim == 3:  # palettized PNGs decode to 3 channels in cv2
+                from PIL import Image
+                return np.asarray(Image.open(path)).astype(np.int32)
+            return lbl.astype(np.int32)
+    except ImportError:
+        pass
     from PIL import Image
     return np.asarray(Image.open(path)).astype(np.int32)
 

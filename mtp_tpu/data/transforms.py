@@ -38,10 +38,27 @@ def _has(s: Sample, k: str) -> bool:
 # resize
 # ---------------------------------------------------------------------------
 
+try:  # SIMD host path: the reference's mmcv pipeline is itself cv2-backed,
+    import cv2 as _cv2  # so cv2 here is both faster AND closer to parity
+except ImportError:  # pragma: no cover
+    _cv2 = None
+
+
 def _resize_image(img: np.ndarray, size: Tuple[int, int],
                   nearest: bool = False) -> np.ndarray:
-    from PIL import Image
     h, w = size
+    if _cv2 is not None:
+        if img.dtype == np.bool_:
+            return _resize_image(img.view(np.uint8), size,
+                                 nearest).astype(bool)
+        if img.dtype in (np.int64, np.uint32, np.uint64):
+            return _resize_image(img.astype(np.int32), size,
+                                 nearest).astype(img.dtype)
+        interp = _cv2.INTER_NEAREST if nearest else _cv2.INTER_LINEAR
+        out = _cv2.resize(np.ascontiguousarray(img), (w, h),
+                          interpolation=interp)
+        return out.astype(img.dtype, copy=False)
+    from PIL import Image
     mode = Image.NEAREST if nearest else Image.BILINEAR
     if img.ndim == 2:
         return np.asarray(Image.fromarray(img).resize((w, h), mode))
@@ -318,31 +335,46 @@ def photometric_distortion(sample: Sample, rng: np.random.Generator,
 
 
 def _rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
-    r, g, b = rgb[..., 0] / 255, rgb[..., 1] / 255, rgb[..., 2] / 255
-    mx = np.max(rgb / 255, -1)
-    mn = np.min(rgb / 255, -1)
-    d = mx - mn + 1e-12
+    """H in [0, 360], S/V in [0, 1] — the cv2 float32 convention (the
+    reference's mmcv PhotoMetricDistortion is cv2-backed)."""
+    if _cv2 is not None:
+        return _cv2.cvtColor(
+            np.ascontiguousarray(rgb * np.float32(1 / 255), np.float32),
+            _cv2.COLOR_RGB2HSV)
+    rgbn = rgb * np.float32(1 / 255)
+    r, g, b = rgbn[..., 0], rgbn[..., 1], rgbn[..., 2]
+    mx = np.max(rgbn, -1)
+    mn = np.min(rgbn, -1)
+    d = mx - mn + np.float32(1e-12)  # f32 literal: keep the whole chain f32
+    dinv = np.float32(1.0) / d
     h = np.zeros_like(mx)
-    h = np.where(mx == r, (g - b) / d % 6, h)
-    h = np.where(mx == g, (b - r) / d + 2, h)
-    h = np.where(mx == b, (r - g) / d + 4, h)
-    h = h * 60
-    s = np.where(mx > 0, d / (mx + 1e-12), 0)
+    h = np.where(mx == r, (g - b) * dinv % np.float32(6), h)
+    h = np.where(mx == g, (b - r) * dinv + np.float32(2), h)
+    h = np.where(mx == b, (r - g) * dinv + np.float32(4), h)
+    h = h * np.float32(60)
+    s = np.where(mx > 0, d / (mx + np.float32(1e-12)), np.float32(0))
     return np.stack([h, s, mx], -1)
 
 
 def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    """Standard k-formula (same math as the 6-sector select, ~6× fewer
+    full-array temporaries — this runs per TRAIN SAMPLE on the host):
+    rgb_n = v − c·clip(min(k, 4−k), 0, 1), k = (n + h/60) mod 6."""
+    if _cv2 is not None:
+        hsv = hsv.copy()
+        hsv[..., 1] = hsv[..., 1].clip(0, 1)  # sat scaling may exceed 1
+        return _cv2.cvtColor(np.ascontiguousarray(hsv, np.float32),
+                             _cv2.COLOR_HSV2RGB) * np.float32(255)
     h, s, v = hsv[..., 0], hsv[..., 1].clip(0, 1), hsv[..., 2]
     c = v * s
-    x = c * (1 - np.abs((h / 60) % 2 - 1))
-    m = v - c
-    z = np.zeros_like(c)
-    cond = [(h < 60)[..., None], (h < 120)[..., None], (h < 180)[..., None],
-            (h < 240)[..., None], (h < 300)[..., None], (h >= 300)[..., None]]
-    rgb = np.select(cond, [np.stack(t, -1) for t in
-                           [(c, x, z), (x, c, z), (z, c, x),
-                            (z, x, c), (x, z, c), (c, z, x)]])
-    return (rgb + m[..., None]) * 255
+    h60 = h * np.float32(1 / 60)
+    out = np.empty(hsv.shape, np.float32)
+    for i, n in enumerate((5.0, 3.0, 1.0)):
+        k = (h60 + n) % 6.0
+        np.minimum(k, 4.0 - k, out=k)
+        np.clip(k, 0.0, 1.0, out=k)
+        out[..., i] = v - c * k
+    return out * 255
 
 
 # ---------------------------------------------------------------------------

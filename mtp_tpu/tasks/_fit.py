@@ -36,16 +36,31 @@ def fit_loop(task, state, data: Iterator[Dict], steps: int, *,
     `ckpt_every` steps plus once at the end; `encoder_path` additionally
     exports the encoder/backbone-only .npz (the finetune artifact,
     reference main_pretrain.py:827-829)."""
+    import time as _time
+
     step_fn = task.train_step_fn()
     sh = batch_sharding(task.mesh)
     metrics = {}
+    t_data = 0.0  # host pipeline + H2D per log window (reference data_time)
+    t_mark = _time.perf_counter()
+    n_since = 0
     for i in range(steps):
+        t0 = _time.perf_counter()
         batch = next(data)
         batch = jax.tree.map(
             lambda v: jax.device_put(jnp.asarray(v), sh), batch)
+        t_data += _time.perf_counter() - t0
         state, metrics = step_fn(state, batch)
+        n_since += 1
         if log_fn and (i % log_every == 0 or i == steps - 1):
-            log_fn(i, {k: float(v) for k, v in metrics.items()})
+            m = {k: float(v) for k, v in metrics.items()}  # syncs the step
+            wall = _time.perf_counter() - t_mark
+            m["data_time"] = round(t_data / n_since, 4)
+            m["step_time"] = round(wall / n_since, 4)
+            log_fn(i, m)
+            t_data = 0.0
+            n_since = 0
+            t_mark = _time.perf_counter()
         if ckpt is not None and (i + 1) % ckpt_every == 0 and i != steps - 1:
             _save(ckpt, state, encoder_path)
     if ckpt is not None:

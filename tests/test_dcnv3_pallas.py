@@ -152,3 +152,38 @@ def test_stride_two():
                             interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_bgpack_tier_matches_core():
+    """BG=64 on an 8×8 map routes through the bg-packed tier (Gp=8,
+    _bg_pack): forward and all four grads must match the jnp core."""
+    from mtp_tpu.ops.dcnv3_pallas import _bg_pack
+
+    N, H, W, G, gc = 4, 8, 8, 16, 8
+    assert _bg_pack(N * G, H * W) == 8
+    x, off, m = _inputs(3, N, H, W, G, gc, 3, quarter=True)
+
+    ref_fn = lambda x, o, m: jnp.sum(
+        dcnv3_core(x, o, m, kernel=3, group=G, offset_scale=1.2) ** 2)
+    new_fn = lambda x, o, m: jnp.sum(
+        dcnv3_core_onehot(x, o, m, kernel=3, group=G, offset_scale=1.2,
+                          interpret=True) ** 2)
+    ref, ref_g = jax.value_and_grad(ref_fn, argnums=(0, 1, 2))(x, off, m)
+    new, new_g = jax.value_and_grad(new_fn, argnums=(0, 1, 2))(x, off, m)
+    np.testing.assert_allclose(float(new), float(ref), rtol=2e-5)
+    for a, b, name in zip(new_g, ref_g, ("dx", "doff", "dm")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-5,
+                                   rtol=2e-4, err_msg=name)
+
+
+def test_bgpack_tier_multi_tile():
+    """14² map (PT=2 row tiles per bg) through the packed layout."""
+    from mtp_tpu.ops.dcnv3_pallas import _bg_pack
+
+    N, H, W, G, gc = 2, 14, 14, 32, 4
+    assert _bg_pack(N * G, H * W) == 8
+    x, off, m = _inputs(4, N, H, W, G, gc, 3, quarter=True)
+    ref = dcnv3_core(x, off, m, kernel=3, group=G)
+    out = dcnv3_core_onehot(x, off, m, kernel=3, group=G, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-5)
