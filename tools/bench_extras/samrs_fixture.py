@@ -20,12 +20,19 @@ from PIL import Image
 
 sys.path.insert(0, "/root/repo")
 
+from mtp_tpu.data.datasets import (FAST_CLASSES, SIOR_CLASSES,  # noqa: E402
+                                   SOTA_CLASSES)
 from mtp_tpu.data.parsers import mask_to_rle  # noqa: E402
 
-SUBS = (("sota", 18), ("sior", 20), ("fast", 37))
+# REAL class-name lists: the rots-txt parser maps names through the
+# dataset's class tuple — synthetic names would silently drop every rbox
+# (that exact bug produced all-zero rd losses in the first measurement run)
+SUBS = (("sota", SOTA_CLASSES), ("sior", SIOR_CLASSES),
+        ("fast", FAST_CLASSES))
 
 
-def build_one(base, n, size, ncls, inst_per_img, rng):
+def build_one(base, n, size, class_names, inst_per_img, rng):
+    ncls = len(class_names)  # incl. background at index 0
     img_dir = os.path.join(base, "images")
     seg_dir = os.path.join(base, "segs")
     rot_dir = os.path.join(base, "rots")
@@ -74,7 +81,7 @@ def build_one(base, n, size, ncls, inst_per_img, rng):
             quad = [cx - ex - px, cy - ey - py, cx + ex - px, cy + ey - py,
                     cx + ex + px, cy + ey + py, cx - ex + px, cy - ey + py]
             quad = " ".join(f"{v:.1f}" for v in quad)
-            lines.append(f"{quad} cls{cls} 0")
+            lines.append(f"{quad} {class_names[cls + 1]} 0")
         Image.fromarray(seg).save(os.path.join(seg_dir, f"im{i}.png"))
         with open(os.path.join(rot_dir, f"im{i}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
@@ -92,9 +99,9 @@ def main():
     p.add_argument("--instances", type=int, default=14)
     args = p.parse_args()
     rng = np.random.default_rng(0)
-    for sub, ncls in SUBS:
-        build_one(os.path.join(args.out, sub), args.n, args.size, ncls,
-                  args.instances, rng)
+    for sub, class_names in SUBS:
+        build_one(os.path.join(args.out, sub), args.n, args.size,
+                  class_names, args.instances, rng)
         print(f"{sub}: {args.n} images ({args.size}²), "
               f"{args.n * args.instances} instances", flush=True)
 
