@@ -121,7 +121,10 @@ def bench_pretrain():
                                     warmup_steps=1500),
             mesh=MeshConfig(data=1, model=1)))
     det_overrides = json.loads(os.environ.get("BENCH_DET_OVERRIDES", "{}"))
-    task = MultiTaskPretrainTask(cfg, det_overrides=det_overrides)
+    # BENCH_TASKS=ss | ss,is | ... — task-subset knockout attribution
+    # (mirrors the reference's --tasks; full 9-way step is the default)
+    tasks = tuple(os.environ.get("BENCH_TASKS", "ss,is,rd").split(","))
+    task = MultiTaskPretrainTask(cfg, det_overrides=det_overrides, tasks=tasks)
 
     t0 = time.perf_counter()
     state = task.init_state(jax.random.PRNGKey(0))

@@ -17,7 +17,7 @@ import numpy as np
 
 
 def build_task(recipe, mesh_data: int, mesh_model: int,
-               det_overrides: dict = None):
+               det_overrides: dict = None, tasks=("ss", "is", "rd")):
     import jax
     from mtp_tpu import configs
     from mtp_tpu.utils.config import MeshConfig
@@ -38,7 +38,8 @@ def build_task(recipe, mesh_data: int, mesh_model: int,
         return ChangeDetectionTask(cfg), cfg
     if cfg.task == "multitask":
         from mtp_tpu.tasks.multitask import MultiTaskPretrainTask
-        return MultiTaskPretrainTask(cfg, det_overrides=det_overrides), cfg
+        return MultiTaskPretrainTask(cfg, det_overrides=det_overrides,
+                                     tasks=tasks), cfg
     if cfg.task in ("detection_h", "detection_r", "instseg"):
         from mtp_tpu.tasks.detection_task import DetectionTask
         head = {"detection_h": "faster_rcnn", "instseg": "mask_rcnn",
@@ -216,6 +217,10 @@ def main(argv=None):
                    help="fixed-shape padding cap for gt instances per image")
     p.add_argument("--num-workers", type=int, default=0,
                    help="fork-based decode worker processes per loader")
+    p.add_argument("--tasks", nargs="+", default=["ss", "is", "rd"],
+                   choices=("ss", "is", "rd"),
+                   help="multitask pretrain task subset (reference "
+                        "main_pretrain.py --tasks); ignored by other tasks")
     p.add_argument("--alloc", choices=("ratio", "avg"), default="ratio",
                    help="multitask per-dataset batch allocation (reference "
                         "--batch_mode)")
@@ -284,7 +289,7 @@ def main(argv=None):
 
     det_overrides = json.loads(args.det_overrides) if args.det_overrides else None
     task, cfg = build_task(recipe, args.mesh_data, args.mesh_model,
-                           det_overrides)
+                           det_overrides, tasks=tuple(args.tasks))
     logger = make_logger(log_file=f"{args.work_dir}/{recipe.name}.log")
     jsonl = JsonlLogger(f"{args.work_dir}/{recipe.name}.jsonl")
     logger.info("recipe %s on mesh %s", recipe.name, task.mesh)

@@ -58,6 +58,11 @@ class MultiTaskPretrainModel(nn.Module):
     cfg: BackboneConfig
     classes: Tuple[int, int, int] = SAMRS_CLASSES  # incl. background
     det_overrides: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # task-subset selection (reference `--tasks`, main_pretrain.py:32; the
+    # torch model constructs every decoder but gates forward/loss on
+    # args.tasks — models.py:375,386,435).  Same here: all params exist
+    # (checkpoint layout is task-independent), only selected branches run.
+    tasks: Tuple[str, ...] = ("ss", "is", "rd")
 
     @property
     def det_h_cfgs(self):
@@ -201,9 +206,9 @@ class MultiTaskPretrainModel(nn.Module):
         total = 0.0
 
         # --- semantic segmentation (per-dataset trunk pass, reference
-        #     models.py:345-351) ---
+        #     models.py:345-351; gated on 'ss' in tasks like models.py:375) ---
         from mtp_tpu.heads.upernet import resize_bilinear
-        for d in range(3):
+        for d in range(3) if "ss" in self.tasks else ():
             logits = self.ss_logits(enc_split[d], d, train=not deterministic,
                                     deterministic=deterministic)
             label = batches[d]["ss_label"]
@@ -212,10 +217,11 @@ class MultiTaskPretrainModel(nn.Module):
             losses[f"ss_d{d}"] = l
             total = total + l
 
-        # --- instance segmentation ---
-        feats_h_all, rpn_h_all = self.is_forward(enc)
+        # --- instance segmentation (gate: models.py:386) ---
         rngs = jax.random.split(rng, 6)
-        for d in range(3):
+        if "is" in self.tasks:
+            feats_h_all, rpn_h_all = self.is_forward(enc)
+        for d in range(3) if "is" in self.tasks else ():
             feats_d = [f[offs[d]:offs[d + 1]] for f in feats_h_all]
             rpn_d = RPNOut(rpn_h_all.cls_scores[offs[d]:offs[d + 1]],
                            rpn_h_all.deltas[offs[d]:offs[d + 1]])
@@ -229,9 +235,10 @@ class MultiTaskPretrainModel(nn.Module):
                     losses[f"is_d{d}_{k}"] = v
             total = total + tot
 
-        # --- rotated detection ---
-        feats_r_all, rpn_r_all = self.rd_forward(enc)
-        for d in range(3):
+        # --- rotated detection (gate: models.py:435) ---
+        if "rd" in self.tasks:
+            feats_r_all, rpn_r_all = self.rd_forward(enc)
+        for d in range(3) if "rd" in self.tasks else ():
             feats_d = [f[offs[d]:offs[d + 1]] for f in feats_r_all]
             rpn_d = RPNOut(rpn_r_all.cls_scores[offs[d]:offs[d + 1]],
                            rpn_r_all.deltas[offs[d]:offs[d + 1]])
@@ -259,16 +266,19 @@ class MultiTaskPretrainModel(nn.Module):
 
         B, H, W, _ = images.shape
         enc = self.encode(images, deterministic=True)
-        ss = self.ss_logits(enc, d, train=False, deterministic=True)
-        ss_pred = resize_bilinear(ss, (H, W)).argmax(-1)
-
-        feats_h, rpn_h = self.is_forward(enc)
-        det_h = det_predict_core(self.det_h_cfgs[d], anchors, (H, W), B,
-                                 rpn_h, self.is_box_fn(feats_h, d),
-                                 self.is_mask_fn(feats_h, d))
-        feats_r, rpn_r = self.rd_forward(enc)
-        det_r = det_predict_core(self.det_r_cfgs[d], anchors, (H, W), B,
-                                 rpn_r, self.rd_box_fn(feats_r, d))
+        ss_pred = det_h = det_r = None
+        if "ss" in self.tasks:
+            ss = self.ss_logits(enc, d, train=False, deterministic=True)
+            ss_pred = resize_bilinear(ss, (H, W)).argmax(-1)
+        if "is" in self.tasks:
+            feats_h, rpn_h = self.is_forward(enc)
+            det_h = det_predict_core(self.det_h_cfgs[d], anchors, (H, W), B,
+                                     rpn_h, self.is_box_fn(feats_h, d),
+                                     self.is_mask_fn(feats_h, d))
+        if "rd" in self.tasks:
+            feats_r, rpn_r = self.rd_forward(enc)
+            det_r = det_predict_core(self.det_r_cfgs[d], anchors, (H, W), B,
+                                     rpn_r, self.rd_box_fn(feats_r, d))
         return ss_pred, det_h, det_r
 
     # -- init path -----------------------------------------------------------

@@ -62,10 +62,15 @@ def allocate_batch_sizes(total: int, lengths: Sequence[int],
 
 class MultiTaskPretrainTask:
     def __init__(self, cfg: TaskConfig, classes=SAMRS_CLASSES,
-                 det_overrides: Optional[dict] = None, mesh=None):
+                 det_overrides: Optional[dict] = None, mesh=None,
+                 tasks: Sequence[str] = ("ss", "is", "rd")):
+        tasks = tuple(tasks)
+        if not tasks or not set(tasks) <= {"ss", "is", "rd"}:
+            raise ValueError(f"tasks must be a non-empty subset of "
+                             f"('ss', 'is', 'rd'), got {tasks!r}")
         self.cfg = cfg
         self.model = MultiTaskPretrainModel(cfg.backbone, tuple(classes),
-                                            det_overrides or {})
+                                            det_overrides or {}, tasks=tasks)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.train.mesh)
         s = cfg.backbone.img_size
         self.anchors = anchors_for(None, (s, s))
@@ -232,15 +237,21 @@ class MultiTaskPretrainTask:
                 H, W = images.shape[1:3]
                 t0 = _time.perf_counter()
                 ss_pred, det_h, det_r = predict(variables, images, d)
-                ss_pred = np.asarray(ss_pred)  # sync
-                dh, dr = fetch(det_h), fetch(det_r)
+                if ss_pred is not None:
+                    ss_pred = np.asarray(ss_pred)  # sync
+                dh = fetch(det_h) if det_h is not None else None
+                dr = fetch(det_r) if det_r is not None else None
                 t_dev += _time.perf_counter() - t0
                 t0 = _time.perf_counter()
-                seg_acc[d].add(ss_pred, bd["ss_label"])
+                if ss_pred is not None:
+                    seg_acc[d].add(ss_pred, bd["ss_label"])
                 for i in range(images.shape[0]):
-                    det_h_futs[d].append(
-                        pool.submit(build_h_rec, dh, i, bd, H, W))
-                    det_r_futs[d].append(pool.submit(build_r_rec, dr, i, bd))
+                    if dh is not None:
+                        det_h_futs[d].append(
+                            pool.submit(build_h_rec, dh, i, bd, H, W))
+                    if dr is not None:
+                        det_r_futs[d].append(
+                            pool.submit(build_r_rec, dr, i, bd))
                 t_host += _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -251,20 +262,26 @@ class MultiTaskPretrainTask:
 
         out: Dict[str, float] = {}
         accs = []
+        tasks = self.model.tasks
         for d in range(3):
-            miou = seg_acc[d].evaluate()["mIoU"]
-            coco = evaluate_coco_bbox_segm(det_h_imgs[d],
-                                           self.model.classes[d] - 1)
-            mr = eval_map(det_r_imgs[d], self.model.classes[d] - 1,
-                          rotated=True)["mAP"]
-            out[f"ss_d{d}_mIoU"] = miou
-            out[f"is_d{d}_mAP50"] = coco["AP50"]
-            out[f"is_d{d}_mAP"] = coco["mAP"]
-            if "segm_mAP" in coco:
-                out[f"is_d{d}_segm_mAP"] = coco["segm_mAP"]
-                out[f"is_d{d}_segm_mAP50"] = coco["segm_AP50"]
-            out[f"rd_d{d}_mAP50"] = mr
-            accs += [miou, coco["AP50"], mr]
+            if "ss" in tasks:
+                miou = seg_acc[d].evaluate()["mIoU"]
+                out[f"ss_d{d}_mIoU"] = miou
+                accs.append(miou)
+            if "is" in tasks:
+                coco = evaluate_coco_bbox_segm(det_h_imgs[d],
+                                               self.model.classes[d] - 1)
+                out[f"is_d{d}_mAP50"] = coco["AP50"]
+                out[f"is_d{d}_mAP"] = coco["mAP"]
+                if "segm_mAP" in coco:
+                    out[f"is_d{d}_segm_mAP"] = coco["segm_mAP"]
+                    out[f"is_d{d}_segm_mAP50"] = coco["segm_AP50"]
+                accs.append(coco["AP50"])
+            if "rd" in tasks:
+                mr = eval_map(det_r_imgs[d], self.model.classes[d] - 1,
+                              rotated=True)["mAP"]
+                out[f"rd_d{d}_mAP50"] = mr
+                accs.append(mr)
         out["mtp_accuracy"] = float(np.mean(accs))
         out["eval_device_s"] = round(t_dev, 3)
         out["eval_host_s"] = round(t_host, 3)
