@@ -233,6 +233,9 @@ def main(argv=None, return_metrics=False):
     p.add_argument("--img-size", type=int, default=None,
                    help="override backbone image size (smoke runs)")
     p.add_argument("--max-gts", type=int, default=100)
+    p.add_argument("--det-overrides", default=None,
+                   help="JSON DetConfig overrides (e.g. shrink nms_pre/"
+                        "max_proposals for smoke runs), like cli.train")
     p.add_argument("--score-thr", type=float, default=0.3)
     p.add_argument("--save-pred", default=None,
                    help="directory for prediction visualizations")
@@ -268,7 +271,10 @@ def main(argv=None, return_metrics=False):
                                    shrink_recipe, synthetic_data)
 
     recipe = shrink_recipe(configs.get(args.recipe), args.img_size)
-    task, cfg = build_task(recipe, args.mesh_data, 1)
+    import json as _json
+    det_overrides = (_json.loads(args.det_overrides)
+                     if args.det_overrides else None)
+    task, cfg = build_task(recipe, args.mesh_data, 1, det_overrides)
     batch_size = args.batch_size or cfg.train.batch_size
     state = init_or_restore(task, args.ckpt)
 

@@ -433,3 +433,70 @@ def test_retinanet_full_checkpoint_golden(tmp_path):
     want = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     got = convert_full_checkpoint(path, "detection_h", cfg)
     _assert_same_tree(got["params"], jax.tree.map(np.asarray, want["params"]))
+
+
+def test_validate_runbook_detection_end_to_end(tmp_path):
+    """tools/validate.py on a DETECTION recipe (VERDICT r3 item 1 follow-
+    through): synthetic released Faster R-CNN .pth → full convert → cli.test
+    COCO-layout eval → metrics.  Exercises the exact path a user runs the
+    day the released DIOR checkpoints are mounted."""
+    import importlib.util
+    import json
+
+    from PIL import Image
+
+    from mtp_tpu import configs
+    from mtp_tpu.utils.config import (MeshConfig, OptimizerConfig,
+                                      ScheduleConfig, TaskConfig, TrainConfig)
+
+    cfg = _tiny_cfg()
+
+    @configs.register("_tiny_det_validate")
+    def _recipe():
+        return configs.Recipe(
+            "_tiny_det_validate",
+            TaskConfig(task="detection_h", num_classes=2, backbone=cfg,
+                       train=TrainConfig(
+                           batch_size=2, mesh=MeshConfig(data=1),
+                           optimizer=OptimizerConfig(lr=1e-4),
+                           schedule=ScheduleConfig(total_steps=4))),
+            dataset="dior")
+
+    rng = np.random.default_rng(7)
+    # released layout: fpn_channels=256 trunk (the real DIOR configs'), two
+    # foreground classes to keep the fc widths tiny-host friendly
+    sd = _two_stage_sd(rng, in_ch=32, ch=256, num_classes=2)
+    ckpt = _save_ckpt(tmp_path, sd, bb_sd=_rvsa_torch_sd(cfg, rng))
+
+    root = tmp_path / "data"
+    (root / "images").mkdir(parents=True)
+    anns, images = [], []
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        ).save(root / "images" / f"{i}.png")
+        images.append({"id": i, "file_name": f"{i}.png",
+                       "width": 64, "height": 64})
+        anns.append({"id": i, "image_id": i, "iscrowd": 0,
+                     "category_id": 1, "bbox": [8, 8, 20, 20], "area": 400})
+    coco = {"images": images, "annotations": anns,
+            "categories": [{"id": 1, "name": "plane"},
+                           {"id": 2, "name": "ship"}]}
+    for split in ("train.json", "val.json"):
+        (root / split).write_text(json.dumps(coco))
+
+    spec = importlib.util.spec_from_file_location(
+        "validate", "/root/repo/tools/validate.py")
+    v = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(v)
+    v.BASELINES["_tiny_det_validate"] = ("mAP", 50.0)
+    out = tmp_path / "rec.json"
+    rc = v.main(["_tiny_det_validate", "--ckpt", ckpt,
+                 "--data-root", str(root), "--out", str(out),
+                 "--det-overrides",
+                 '{"nms_pre":64,"max_proposals":16,"rpn_num":16,'
+                 '"rcnn_num":8,"max_per_img":4}'])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    assert rec["metric"] == "mAP" and "delta" in rec
+    assert np.isfinite(rec["ours"])

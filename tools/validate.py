@@ -80,6 +80,9 @@ def main(argv=None):
     p.add_argument("--batches", type=int, default=0,
                    help="0 = the full split (validation runs everything)")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--det-overrides", default=None,
+                   help="JSON DetConfig overrides passed through to "
+                        "cli.test (smoke-scale NMS/proposal counts)")
     p.add_argument("--out", default=None, help="write the JSON record here")
     args = p.parse_args(argv)
 
@@ -114,6 +117,8 @@ def main(argv=None):
         cli_args += ["--split", args.split]
     if args.batch_size:
         cli_args += ["--batch-size", str(args.batch_size)]
+    if args.det_overrides:
+        cli_args += ["--det-overrides", args.det_overrides]
     metrics = cli_test.main(cli_args, return_metrics=True)
 
     key, ref = BASELINES.get(args.recipe, (None, None))
