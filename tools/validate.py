@@ -60,9 +60,17 @@ BASELINES = {
     "faster_rcnn_intern_xl_800_imp_mtp_dior": ("mAP", 78.30),
     "retinanet_rvsa_b_416_mae_mtp_xview": ("mAP", 16.40),
     "retinanet_rvsa_l_416_mae_mtp_xview": ("mAP", 19.40),
+    "retinanet_intern_xl_416_imp_mtp_xview": ("mAP", 18.20),
     # rotated detection (VOC mAP50)
     "oriented_rcnn_rvsa_b_800_mae_mtp_diorr": ("mAP", 71.29),
     "oriented_rcnn_rvsa_l_800_mae_mtp_diorr": ("mAP", 74.54),
+    "oriented_rcnn_intern_xl_800_imp_mtp_diorr": ("mAP", 72.17),
+    # FAIR1M-2.0 mAP is scored by the challenge server on the merged
+    # submission (cli.test --format-only --fair1m); the published numbers
+    # are recorded for the delta printout when a local score is supplied
+    "oriented_rcnn_rvsa_b_800_mae_mtp_fair1m20_branches": ("mAP", 51.92),
+    "oriented_rcnn_rvsa_l_800_mae_mtp_fair1m20_branches": ("mAP", 53.00),
+    "oriented_rcnn_intern_xl_800_imp_mtp_fair1m20": ("mAP", 50.93),
 }
 
 _FULL_CONVERT_TASKS = {"classification", "segmentation", "change_detection",
