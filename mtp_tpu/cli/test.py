@@ -271,8 +271,7 @@ def main(argv=None, return_metrics=False):
                                    shrink_recipe, synthetic_data)
 
     recipe = shrink_recipe(configs.get(args.recipe), args.img_size)
-    import json as _json
-    det_overrides = (_json.loads(args.det_overrides)
+    det_overrides = (json.loads(args.det_overrides)
                      if args.det_overrides else None)
     task, cfg = build_task(recipe, args.mesh_data, 1, det_overrides)
     batch_size = args.batch_size or cfg.train.batch_size

@@ -72,7 +72,11 @@ DIOR_CLASSES = (
 def imread(path: str) -> np.ndarray:
     try:  # SIMD decode (the reference's mmcv imfrombytes is cv2 too)
         import cv2
-        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        # IGNORE_ORIENTATION: mmcv's imfrombytes (cv2.imdecode) does not
+        # apply EXIF rotation, and neither do the label/annotation files —
+        # plain IMREAD_COLOR would rotate EXIF-tagged JPEGs out of
+        # alignment with their boxes/masks.
+        img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
         if img is not None:
             return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
     except ImportError:

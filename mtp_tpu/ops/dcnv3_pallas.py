@@ -662,6 +662,9 @@ def _sample_bwd(H, W, interpret, res, g):
     BG, HW, gc = img.shape
     _, HWo, P = py.shape
     interpret = interpret or _force_interpret()
+    Gp = _bg_pack(BG, HW)
+    if Gp > 1:
+        return _backward_bgpack(img, py, px, m, g, H, W, Gp, interpret)
     CH, rpc, Wk, packed = _plan(HW, W)
     imgp, pyp, pxp, mp, Tp, PT = _pad_inputs(img, py, px, m, CH)
     HWq = imgp.shape[1]

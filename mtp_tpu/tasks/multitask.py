@@ -102,8 +102,21 @@ class MultiTaskPretrainTask:
         from mtp_tpu.models.backbones import layer_id_fn_for
         layer_id = layer_id_fn_for(cfg.backbone, root="encoder/")
 
+        # Task-subset runs keep every decoder's params in the tree (layout
+        # stays task-independent) but must not TOUCH the gated-off ones:
+        # torch AdamW skips grad=None params entirely, while optax's
+        # add_decayed_weights would shrink zero-grad leaves every step.
+        # Freeze the inactive branches so their params stay exactly at init.
+        frozen = None
+        active = set(self.model.tasks)
+        if active != {"ss", "is", "rd"}:
+            inactive = tuple(t + "_" for t in {"ss", "is", "rd"} - active)
+            frozen = {k: jax.tree_util.tree_map(
+                          lambda _: k.startswith(inactive), v)
+                      for k, v in params.items()}
         self._tx = make_optimizer(cfg.train.optimizer, schedule, params,
                                   cfg.backbone.depth, layer_id_fn=layer_id,
+                                  frozen_mask=frozen,
                                   scan_interval=(cfg.backbone.interval if cfg.backbone.scan else None))
         state = create_state(params, self._tx, rng, batch_stats=batch_stats,
                              init_opt=False)
@@ -179,12 +192,21 @@ class MultiTaskPretrainTask:
         # (b) the per-image unpad/sigmoid/paste work runs on a thread pool
         # overlapped with the next batch's device step (numpy ufuncs release
         # the GIL); eval_host_s counts only the non-overlapped remainder.
+        import collections
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
         import os as _os
         pool = ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 4))
         det_h_futs = [[] for _ in range(3)]
         det_r_futs = [[] for _ in range(3)]
+        # Backpressure: every queued future pins its whole fetched batch
+        # (mask logits, images, gt masks) until a worker drains it — on an
+        # epoch where the pool runs slower than the device loop the queue
+        # would otherwise grow with epoch length.  Bound in-flight work to a
+        # few batches' worth; waiting here is honest (non-overlapped) host
+        # time and is counted in eval_host_s.
+        pending = collections.deque()
+        max_pending = 8 * pool._max_workers
         t_dev = t_host = 0.0
 
         def build_h_rec(dh, i, bd, H, W):
@@ -228,37 +250,45 @@ class MultiTaskPretrainTask:
                 d["mask_logits"] = np.asarray(det.mask_logits)
             return d
 
-        for bi, batch in enumerate(data):
-            if max_batches and bi >= max_batches:
-                break
-            for d in range(3):
-                bd = batch[f"d{d}"]
-                images = jnp.asarray(bd["image"])
-                H, W = images.shape[1:3]
-                t0 = _time.perf_counter()
-                ss_pred, det_h, det_r = predict(variables, images, d)
-                if ss_pred is not None:
-                    ss_pred = np.asarray(ss_pred)  # sync
-                dh = fetch(det_h) if det_h is not None else None
-                dr = fetch(det_r) if det_r is not None else None
-                t_dev += _time.perf_counter() - t0
-                t0 = _time.perf_counter()
-                if ss_pred is not None:
-                    seg_acc[d].add(ss_pred, bd["ss_label"])
-                for i in range(images.shape[0]):
-                    if dh is not None:
-                        det_h_futs[d].append(
-                            pool.submit(build_h_rec, dh, i, bd, H, W))
-                    if dr is not None:
-                        det_r_futs[d].append(
-                            pool.submit(build_r_rec, dr, i, bd))
-                t_host += _time.perf_counter() - t0
+        try:
+            for bi, batch in enumerate(data):
+                if max_batches and bi >= max_batches:
+                    break
+                for d in range(3):
+                    bd = batch[f"d{d}"]
+                    images = jnp.asarray(bd["image"])
+                    H, W = images.shape[1:3]
+                    t0 = _time.perf_counter()
+                    ss_pred, det_h, det_r = predict(variables, images, d)
+                    if ss_pred is not None:
+                        ss_pred = np.asarray(ss_pred)  # sync
+                    dh = fetch(det_h) if det_h is not None else None
+                    dr = fetch(det_r) if det_r is not None else None
+                    t_dev += _time.perf_counter() - t0
+                    t0 = _time.perf_counter()
+                    if ss_pred is not None:
+                        seg_acc[d].add(ss_pred, bd["ss_label"])
+                    for i in range(images.shape[0]):
+                        if dh is not None:
+                            f = pool.submit(build_h_rec, dh, i, bd, H, W)
+                            det_h_futs[d].append(f)
+                            pending.append(f)
+                        if dr is not None:
+                            f = pool.submit(build_r_rec, dr, i, bd)
+                            det_r_futs[d].append(f)
+                            pending.append(f)
+                    while len(pending) > max_pending:
+                        pending.popleft().result()
+                    t_host += _time.perf_counter() - t0
 
-        t0 = _time.perf_counter()
-        det_h_imgs = [[f.result() for f in det_h_futs[d]] for d in range(3)]
-        det_r_imgs = [[f.result() for f in det_r_futs[d]] for d in range(3)]
-        pool.shutdown()
-        t_host += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            det_h_imgs = [[f.result() for f in det_h_futs[d]]
+                          for d in range(3)]
+            det_r_imgs = [[f.result() for f in det_r_futs[d]]
+                          for d in range(3)]
+            t_host += _time.perf_counter() - t0
+        finally:
+            pool.shutdown(cancel_futures=True)
 
         out: Dict[str, float] = {}
         accs = []

@@ -103,6 +103,36 @@ def test_subset_grads_flow_only_into_selected_heads():
     assert l2["rd_rpn"] == 0 and l2["rd_bbox_trunk"] == 0
 
 
+def test_subset_inactive_params_frozen_through_train_step():
+    """torch AdamW never touches grad=None params; with a --tasks subset the
+    gated-off decoders must stay bit-identical through real train steps
+    (optax add_decayed_weights would otherwise decay zero-grad leaves)."""
+    cfg = TaskConfig(task="multitask", num_classes=0, backbone=BB,
+                     train=TrainConfig(
+                         optimizer=OptimizerConfig(lr=1e-2, weight_decay=0.5),
+                         schedule=ScheduleConfig(kind="cosine", total_steps=20,
+                                                 warmup_steps=0),
+                         mesh=MeshConfig(data=1, model=1)))
+    task = MultiTaskPretrainTask(cfg, classes=CLASSES,
+                                 det_overrides=DET_OVERRIDES, tasks=("ss",))
+    state = task.init_state(jax.random.PRNGKey(0))
+    before = jax.tree.map(np.asarray, state.params)
+    step = task.train_step_fn()
+    batch = {f"d{d}": b for d, b in enumerate(_batches(B=1, seed=4))}
+    for _ in range(2):
+        state, _ = step(state, batch)
+    after = jax.tree.map(np.asarray, state.params)
+    for k in before:
+        changed = any(
+            not np.array_equal(a, b) for a, b in zip(
+                jax.tree_util.tree_leaves(after[k]),
+                jax.tree_util.tree_leaves(before[k])))
+        if k.startswith(("is_", "rd_")):
+            assert not changed, f"inactive branch {k} moved"
+        elif k == "encoder" or k.startswith("ss_"):
+            assert changed, f"active branch {k} did not train"
+
+
 def test_subset_validation_metrics():
     cfg = TaskConfig(task="multitask", num_classes=0, backbone=BB,
                      train=TrainConfig(

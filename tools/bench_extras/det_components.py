@@ -10,7 +10,7 @@ Run on the chip: `python tools/bench_extras/det_components.py`.
 """
 import os, sys, time
 
-sys.path.insert(0, "/root/repo")  # script lives two levels below the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax

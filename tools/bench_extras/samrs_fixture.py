@@ -18,7 +18,7 @@ import sys
 import numpy as np
 from PIL import Image
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 from mtp_tpu.data.datasets import (FAST_CLASSES, SIOR_CLASSES,  # noqa: E402
                                    SOTA_CLASSES)
