@@ -25,7 +25,7 @@ avg_factor), global top-k pre-NMS, capped multiclass candidates.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -127,12 +127,68 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
                   ) -> Tuple[Array, Dict[str, Array]]:
     """Detection training loss from precomputed RPN outputs and head
     callables — shared by single-task detectors and the multi-task
-    pretrainer (which swaps per-dataset final layers into box_fn/mask_fn)."""
+    pretrainer (which swaps per-dataset final layers into box_fn/mask_fn).
+
+    One-segment wrapper around `det_loss_multi` (identical semantics and
+    rng stream)."""
+    bf = lambda rois, bidx, segs: [box_fn(rois, bidx)]
+    mf = (None if mask_fn is None
+          else lambda rois, bidx, segs: [mask_fn(rois, bidx)])
+    total, mets = det_loss_multi([det], anchors, img_hw, rpn_out, bf, mf,
+                                 [batch], rng)
+    return total, mets[0]
+
+
+def _pad_gt_axis1(t: Array, G: int) -> Array:
+    pad = [(0, 0)] * t.ndim
+    pad[1] = (0, G - t.shape[1])
+    return jnp.pad(t, pad)
+
+
+def det_loss_multi(dets: Sequence[DetConfig], anchors: np.ndarray,
+                   img_hw: Tuple[int, int], rpn_out: RPNOut, box_fn, mask_fn,
+                   batches: Sequence[Dict[str, Array]], rng: Array
+                   ) -> Tuple[Array, list]:
+    """Multi-dataset detection loss over ONE concatenated batch.
+
+    The multitask pretrainer trains 3 per-dataset heads over a shared
+    FPN/RPN/RoI stack (reference models.py:224-307).  Running the three
+    datasets through that stack sequentially executes every op at the tiny
+    per-dataset batch (1 img/dataset in the reference's 'avg' allocation);
+    here the RPN loss, proposal generation, assignment/sampling, RoIAlign
+    and the shared trunks all run ONCE over the concatenated batch — exact,
+    since none of those modules couple samples (no norm layers in the
+    detection path) — and only the per-dataset final layers and loss
+    reductions operate on static row slices.
+
+    dets may differ ONLY in num_classes (+ derived head widths); all
+    sampling/NMS hyperparameters must match across segments.
+    box_fn(flat_rois, batch_idx, segs) -> [(cls_logits_d, reg_pred_d)], one
+    per segment, where segs are (start, end) ROW bounds into flat_rois.
+    mask_fn likewise returns [mask_logits_d] for the positive-prefix rows.
+    Returns (total, [metrics_d per segment])."""
+    import dataclasses as _dc
+    det = dets[0]
+    for dd in dets[1:]:
+        if _dc.replace(dd, num_classes=det.num_classes) != det:
+            raise ValueError(
+                "det_loss_multi segments may differ only in num_classes; "
+                f"got {dd} vs {det}")
     H, W = img_hw
     B = rpn_out.cls_scores.shape[0]
-    gt_boxes = batch["gt_boxes"]
-    gt_labels = batch["gt_labels"]
-    gt_valid = batch["gt_valid"]
+    sizes = [b["image"].shape[0] if "image" in b else b["gt_valid"].shape[0]
+             for b in batches]
+    offs = np.cumsum([0] + sizes)
+    assert offs[-1] == B, (sizes, B)
+
+    # concatenate gts at a common padded G (extra slots are valid=False)
+    G = max(int(b["gt_boxes"].shape[1]) for b in batches)
+    gt_boxes = jnp.concatenate(
+        [_pad_gt_axis1(b["gt_boxes"], G) for b in batches], axis=0)
+    gt_labels = jnp.concatenate(
+        [_pad_gt_axis1(b["gt_labels"], G) for b in batches], axis=0)
+    gt_valid = jnp.concatenate(
+        [_pad_gt_axis1(b["gt_valid"], G) for b in batches], axis=0)
     A = jnp.asarray(anchors)
 
     gt_hbox = rbox_to_hbox(gt_boxes) if det.rotated else gt_boxes
@@ -154,7 +210,9 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
     rngs = jax.random.split(rng, B + 1)
     rpn_losses = jax.vmap(rpn_one)(rpn_out.cls_scores, rpn_out.deltas,
                                    gt_hbox, gt_boxes, gt_valid, rngs[:B])
-    losses = {k: v.mean() for k, v in rpn_losses.items()}
+    seg_losses = [{k: v[offs[d]:offs[d + 1]].mean()
+                   for k, v in rpn_losses.items()}
+                  for d in range(len(batches))]
 
     # ---------------- proposals (no grad) ----------------
     props, prop_scores = gen_proposals(
@@ -200,13 +258,19 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
 
     flat_rois = rois.reshape(B * R, rois.shape[-1])
     batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
-    cls_logits, reg_pred = box_fn(flat_rois, batch_idx)
+    segs = [(int(offs[d]) * R, int(offs[d + 1]) * R)
+            for d in range(len(batches))]
+    box_outs = box_fn(flat_rois, batch_idx, segs)
 
     flat_sample = jax.tree.map(lambda x: x.reshape(B * R, *x.shape[2:]), samples)
-    bl = bbox_head_loss(cls_logits, reg_pred, flat_sample,
-                        tgts.reshape(B * R, -1), det.num_classes,
-                        det.reg_class_agnostic, det.rcnn_smooth_l1_beta)
-    losses.update(bl)
+    flat_tgts = tgts.reshape(B * R, -1)
+    for d, (s, e) in enumerate(segs):
+        cls_logits, reg_pred = box_outs[d]
+        seg_losses[d].update(bbox_head_loss(
+            cls_logits, reg_pred,
+            jax.tree.map(lambda x: x[s:e], flat_sample),
+            flat_tgts[s:e], dets[d].num_classes,
+            det.reg_class_agnostic, det.rcnn_smooth_l1_beta))
 
     # ---------------- mask branch ----------------
     if det.with_mask and mask_fn is not None:
@@ -221,36 +285,40 @@ def det_loss_core(det: DetConfig, anchors: np.ndarray,
             lambda x: x[:, :P_m].reshape(B * P_m, *x.shape[2:]), samples)
         m_rois = rois[:, :P_m].reshape(B * P_m, rois.shape[-1])
         m_bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P_m)
-        mask_logits = mask_fn(m_rois, m_bidx)
+        m_segs = [(int(offs[d]) * P_m, int(offs[d + 1]) * P_m)
+                  for d in range(len(batches))]
+        mask_logit_list = mask_fn(m_rois, m_bidx, m_segs)
         m = det.mask_size
-        if not det.rotated and "gt_mask_crops" in batch:
+        if not det.rotated and all("gt_mask_crops" in b for b in batches):
             # targets from per-gt box-aligned full-res crops (reference
             # mask_target semantics: crop the FULL-RES gt mask at the
             # proposal box; an instance mask is zero outside its own bbox,
             # so sampling the crop is exact up to grid resolution)
-            crops = batch["gt_mask_crops"]  # (B, G, C, C)
-            G = crops.shape[1]
+            crops = jnp.concatenate(
+                [_pad_gt_axis1(b["gt_mask_crops"], G) for b in batches],
+                axis=0)  # (B, G, C, C)
             flat_gt = m_sample.gt_inds + m_bidx * G
             tgt = mask_targets_from_crops(
-                crops, batch["gt_boxes"], m_rois, flat_gt, m)
-            losses.update(mask_head_loss(mask_logits, tgt, m_sample))
+                crops, gt_boxes, m_rois, flat_gt, m)
         else:
             # legacy: RoIAlign the assigned instance's stride-4 binary mask
-            gm = batch["gt_masks"]  # (B, G, H/4, W/4)
-            G = gm.shape[1]
+            gm = jnp.concatenate(
+                [_pad_gt_axis1(b["gt_masks"], G) for b in batches], axis=0)
             flat_gt = m_sample.gt_inds + m_bidx * G
             mask_imgs = gm.reshape(B * G, gm.shape[2], gm.shape[3], 1)
             if det.rotated:
-                tgt_masks = roi_align_rotated(mask_imgs, m_rois, flat_gt,
-                                              m, 0.25, clockwise=True)
+                tgt = roi_align_rotated(mask_imgs, m_rois, flat_gt,
+                                        m, 0.25, clockwise=True)[..., 0]
             else:
-                tgt_masks = roi_align(mask_imgs, m_rois, flat_gt, m, 0.25)
-            losses.update(mask_head_loss(mask_logits, tgt_masks[..., 0],
-                                         m_sample))
+                tgt = roi_align(mask_imgs, m_rois, flat_gt, m, 0.25)[..., 0]
+        for d, (s, e) in enumerate(m_segs):
+            seg_losses[d].update(mask_head_loss(
+                mask_logit_list[d], tgt[s:e],
+                jax.tree.map(lambda x: x[s:e], m_sample)))
 
-    total = sum(v for k, v in losses.items() if k.startswith("loss"))
-    metrics = {k: v for k, v in losses.items()}
-    return total, metrics
+    total = sum(v for mets in seg_losses for k, v in mets.items()
+                if k.startswith("loss"))
+    return total, seg_losses
 
 
 def _assign_from_ious(ious: Array, gt_labels: Array, pos_thr: float,
