@@ -44,6 +44,7 @@ def timeit(name, fn, *args):
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = fn(*args)
+    jax.block_until_ready(out)
     float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / ITERS * 1000
     print(f"{name:52s} {dt:8.2f} ms", flush=True)
@@ -65,7 +66,7 @@ def make_batch(rng, n, ncls):
     valid[:, :12] = True
     b = {"image": np.zeros((n, 8, 8, 3), np.float32),  # only shape[0] used
          "gt_boxes": gb,
-         "gt_labels": rng.integers(0, ncls - 1, (n, G)).astype(np.int32),
+         "gt_labels": rng.integers(0, ncls, (n, G)).astype(np.int32),
          "gt_valid": valid}
     if WITH_MASK and not ROT:
         b["gt_masks"] = (rng.uniform(

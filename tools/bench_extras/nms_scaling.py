@@ -111,6 +111,7 @@ def main():
         i2, s2 = f2(boxes, scores)
         assert np.array_equal(np.asarray(i0), np.asarray(i1)), "v1 mismatch"
         assert np.array_equal(np.asarray(i0), np.asarray(i2)), "v2 mismatch"
+        assert np.allclose(np.asarray(s0), np.asarray(s1)), "v1 scores"
         assert np.allclose(np.asarray(s0), np.asarray(s2)), "v2 scores"
         print(f"B={B}: v1/v2 identical to v0", flush=True)
         timeit(f"v0 current B={B}", f0, boxes, scores)
