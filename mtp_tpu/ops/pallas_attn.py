@@ -116,12 +116,129 @@ def _fwd(q, k, v, bias, scale, interpret):
 
 def _bwd(scale, interpret, res, g):
     q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q, k, v, b: _jnp_attention(q, k, v, b, scale),
-                     q, k, v, bias)
-    return vjp(g)
+    if _use_jnp_bwd():
+        # legacy path: re-run the jnp forward and differentiate it
+        _, vjp = jax.vjp(lambda q, k, v, b: _jnp_attention(q, k, v, b, scale),
+                         q, k, v, bias)
+        return vjp(g)
+    return _fused_backward(q, k, v, bias, g, scale, interpret)
 
 
 fused_window_attention.defvjp(_fwd, _bwd)
+
+
+def _use_jnp_bwd() -> bool:
+    """MTP_ATTN_JNP_BWD=1 restores the jnp-recompute backward (A/B lever)."""
+    return bool(os.environ.get("MTP_ATTN_JNP_BWD"))
+
+
+def _win_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, db_ref, *, scale: float,
+                    n_valid: int, pack: int, np_: int):
+    """Window-attention backward, packed form (P=1 degenerates to the plain
+    kernel).  Recomputes scores/softmax in VMEM from the same inputs the
+    forward saw — exact because the full key row is resident (no online
+    rescaling), so the recomputed row max equals the forward's.  Standard
+    softmax-attention VJP:
+        dV = Pᵀ dO;  dP = dO Vᵀ;  dS = P ∘ (dP − rowsum(P ∘ dP))
+        dQ = dS K · scale;  dK = dSᵀ Q · scale;  dbias = dS
+    Cross-window blocks of P are exactly zero (forward masks them to -inf),
+    so dS is block-diagonal and the per-window dbias is its diagonal block."""
+    P, Np = pack, np_
+    D = q_ref.shape[-1]
+    f32 = jnp.float32
+    q = q_ref[:, 0].astype(f32).reshape(P * Np, D)
+    k = k_ref[:, 0].astype(f32).reshape(P * Np, D)
+    v = v_ref[:, 0].astype(f32).reshape(P * Np, D)
+    do = do_ref[:, 0].astype(f32).reshape(P * Np, D)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=f32) * scale
+    if P > 1:
+        b = jnp.concatenate(
+            [jnp.pad(bias_ref[p, 0], ((0, 0), (p * Np, (P - 1 - p) * Np)))
+             for p in range(P)], axis=0)
+    else:
+        b = bias_ref[0, 0]
+    s = s + b
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = (row // Np == col // Np) & (col % Np < n_valid)
+    s = jnp.where(valid, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p_ = jnp.exp(s - m)
+    pn = p_ / jnp.sum(p_, axis=-1, keepdims=True)       # (P·Np, P·Np)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
+    ds = pn * (dp - delta)                               # block-diagonal
+
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32) * scale
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32) * scale
+    dv = jax.lax.dot_general(pn, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    dq_ref[:, 0] = dq.reshape(P, Np, D).astype(dq_ref.dtype)
+    dk_ref[:, 0] = dk.reshape(P, Np, D).astype(dk_ref.dtype)
+    dv_ref[:, 0] = dv.reshape(P, Np, D).astype(dv_ref.dtype)
+    for p in range(P):
+        db_ref[p, 0] = ds[p * Np:(p + 1) * Np,
+                          p * Np:(p + 1) * Np].astype(db_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_backward(q: Array, k: Array, v: Array, bias: Array, g: Array,
+                    scale: float, interpret: bool = False):
+    """Pallas backward for `fused_window_attention`: same grid/packing as
+    the forward, one extra pass — no jnp re-forward, and the (W, H, N, N)
+    score/probability tensors never hit HBM (the jnp VJP materialized
+    both)."""
+    interpret = interpret or _force_interpret()
+    W, H, N, D = q.shape
+    Np = _round_up(N, 8)
+    Dp = _round_up(D, 128)
+    pack = 128 // _round_up(N, 64) if N <= 64 else 1
+    if os.environ.get("MTP_ATTN_NO_PACK"):
+        pack = 1
+    if pack > 1:
+        Np = _round_up(N, 64)
+        Wp = _round_up(W, pack)
+    else:
+        Wp = W
+
+    def pad(t, n3, n4):
+        return jnp.pad(t, ((0, Wp - t.shape[0]), (0, 0),
+                           (0, n3 - t.shape[2]), (0, n4 - t.shape[3])))
+
+    qp = pad(q, Np, Dp)
+    kp = pad(k, Np, Dp)
+    vp = pad(v, Np, Dp)
+    bp = pad(bias.astype(jnp.float32), Np, Np)
+    gp = pad(g.astype(q.dtype), Np, Dp)  # padded cotangent rows are zero
+
+    grid = (Wp // pack, H)
+    spec3 = pl.BlockSpec((pack, 1, Np, Dp), lambda w, h: (w, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    specb = pl.BlockSpec((pack, 1, Np, Np), lambda w, h: (w, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_win_bwd_kernel, scale=scale, n_valid=N,
+                               pack=pack, np_=Np)
+    dq, dk, dv, db = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Wp, H, Np, Dp), q.dtype),
+                   jax.ShapeDtypeStruct((Wp, H, Np, Dp), k.dtype),
+                   jax.ShapeDtypeStruct((Wp, H, Np, Dp), v.dtype),
+                   jax.ShapeDtypeStruct((Wp, H, Np, Np), jnp.float32)),
+        grid=grid,
+        in_specs=[spec3, spec3, spec3, specb, spec3],
+        out_specs=(spec3, spec3, spec3, specb),
+        interpret=interpret,
+    )(qp, kp, vp, bp, gp)
+    cut = lambda t: t[:W, :, :N, :D]
+    return (cut(dq), cut(dk), cut(dv),
+            db[:W, :, :N, :N].astype(bias.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -260,13 +377,138 @@ def _flash_fwd(q, k, v, rel_h, rel_w, grid_hw, scale, interpret):
 
 def _flash_bwd(grid_hw, scale, interpret, res, g):
     q, k, v, rel_h, rel_w = res
-    _, vjp = jax.vjp(
-        lambda q, k, v, rh, rw: _flash_jnp(q, k, v, rh, rw, grid_hw, scale),
-        q, k, v, rel_h, rel_w)
-    return vjp(g)
+    if _use_jnp_bwd():
+        # legacy path: chunked jnp re-forward + autodiff
+        _, vjp = jax.vjp(
+            lambda q, k, v, rh, rw: _flash_jnp(q, k, v, rh, rw, grid_hw,
+                                               scale),
+            q, k, v, rel_h, rel_w)
+        return vjp(g)
+    return _flash_backward(q, k, v, rel_h, rel_w, g, grid_hw, scale,
+                           interpret)
 
 
 flash_full_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+_QBLK_B = 64  # backward q block: half the forward's — ~5 (Qb, Nk) f32
+              # temporaries live at once, VMEM-bounded at N=4096
+
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref,
+                      dq_ref, drh_ref, drw_ref, dk_ref, dv_ref, *,
+                      scale: float, n_valid: int, wk: int):
+    """Flash backward: grid (BH, q-blocks); K/V stay VMEM-resident per (BH),
+    scores are recomputed per q tile (exactly — the full key row is present,
+    so the row max equals the forward's; no saved logsumexp needed).  dK/dV
+    accumulate across q tiles into one resident output block (the q-block
+    axis is the minor grid dim, so the block persists while it sweeps).
+    d(rel_h)/d(rel_w) are dS contracted with the same 0/1 expansion
+    matrices the forward used to build the bias:
+        bias = rh @ Eh + rw @ Ew  ⇒  drh = dS @ Ehᵀ,  drw = dS @ Ewᵀ."""
+    i = pl.program_id(1)
+    f32 = jnp.float32
+    q = q_ref[0]                      # (Qb, Dp) primal dtype
+    k = k_ref[0]                      # (Nkp, Dp)
+    v = v_ref[0]
+    rh = rh_ref[0]                    # (Qb, 128) f32
+    rw = rw_ref[0]
+    do = do_ref[0]                    # (Qb, Dp)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=f32) * scale
+    nkp = s.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (_REL_PAD, nkp), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_REL_PAD, nkp), 0)
+    eh = ((col // wk) == row).astype(f32)
+    ew = ((col % wk) == row).astype(f32)
+    s = s + jax.lax.dot_general(rh, eh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+    s = s + jax.lax.dot_general(rw, ew, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kcol < n_valid, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    pn = p / jnp.sum(p, axis=-1, keepdims=True)          # (Qb, Nkp) f32
+
+    dof = do.astype(f32)
+    dp = jax.lax.dot_general(dof, v.astype(f32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
+    ds = pn * (dp - delta)                               # (Qb, Nkp) f32
+
+    dq = jax.lax.dot_general(ds, k.astype(f32), (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    drh_ref[0] = jax.lax.dot_general(ds, eh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32)
+    drw_ref[0] = jax.lax.dot_general(ds, ew, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=f32)
+
+    dk = jax.lax.dot_general(ds, q.astype(f32), (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32) * scale
+    dv = jax.lax.dot_general(pn, dof, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = dk
+        dv_ref[0] = dv
+
+    @pl.when(i > 0)
+    def _acc():
+        dk_ref[0] += dk
+        dv_ref[0] += dv
+
+
+@functools.partial(jax.jit, static_argnames=("grid_hw", "scale", "interpret"))
+def _flash_backward(q, k, v, rel_h, rel_w, g, grid_hw, scale,
+                    interpret=False):
+    """Pallas backward for `flash_full_attention` — one fused pass; the
+    (N, N) scores/probabilities never exist in HBM, and the forward is NOT
+    re-run (the jnp fallback re-ran it in full before differentiating)."""
+    BH, N, D = q.shape
+    Hk, Wk = grid_hw
+    interpret = interpret or _force_interpret()
+    Nqp = _round_up(N, _QBLK_B)
+    Nkp = _round_up(N, 128)
+    Dp = _round_up(D, 128)
+
+    pad3 = lambda t, n, c: jnp.pad(
+        t, ((0, 0), (0, n - t.shape[1]), (0, c - t.shape[2])))
+    qp = pad3(q, Nqp, Dp)
+    kp = pad3(k, Nkp, Dp)
+    vp = pad3(v, Nkp, Dp)
+    rhp = pad3(rel_h.astype(jnp.float32), Nqp, _REL_PAD)
+    rwp = pad3(rel_w.astype(jnp.float32), Nqp, _REL_PAD)
+    gp = pad3(g.astype(q.dtype), Nqp, Dp)   # padded cotangent rows are zero
+
+    qspec = pl.BlockSpec((1, _QBLK_B, Dp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, Nkp, Dp), lambda b, i: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((1, _QBLK_B, _REL_PAD), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    accspec = pl.BlockSpec((1, Nkp, Dp), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, drh, drw, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale, n_valid=N, wk=Wk),
+        out_shape=(jax.ShapeDtypeStruct((BH, Nqp, Dp), q.dtype),
+                   jax.ShapeDtypeStruct((BH, Nqp, _REL_PAD), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, Nqp, _REL_PAD), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, Nkp, Dp), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, Nkp, Dp), jnp.float32)),
+        grid=(BH, Nqp // _QBLK_B),
+        in_specs=[qspec, kvspec, kvspec, rspec, rspec, qspec],
+        out_specs=(qspec, rspec, rspec, accspec, accspec),
+        interpret=interpret,
+    )(qp, kp, vp, rhp, rwp, gp)
+    return (dq[:, :N, :D],
+            dk[:, :N, :D].astype(k.dtype),
+            dv[:, :N, :D].astype(v.dtype),
+            drh[:, :N, :Hk].astype(rel_h.dtype),
+            drw[:, :N, :Wk].astype(rel_w.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
