@@ -63,6 +63,13 @@ class MultiTaskPretrainModel(nn.Module):
     # args.tasks — models.py:375,386,435).  Same here: all params exist
     # (checkpoint layout is task-independent), only selected branches run.
     tasks: Tuple[str, ...] = ("ss", "is", "rd")
+    # det branch batching across datasets.  Exact either way; measured A/B
+    # on the v5e relay chip (tools/bench_extras/detmulti_ab.py): the
+    # concatenated form runs PAST this chip's op-size throughput knee
+    # (is+mask 370 vs 146 ms, rd 276 vs 58 ms fwd+bwd) — sequential
+    # per-dataset branches are the default; flip on for hardware where
+    # larger ops amortize (direct-attached pods).
+    det_multi: bool = False
 
     @property
     def det_h_cfgs(self):
@@ -238,20 +245,38 @@ class MultiTaskPretrainModel(nn.Module):
             total = total + l
 
         # --- instance segmentation (gate: models.py:386) ---
-        # ONE batched pass over the concatenated 3-dataset batch for the
-        # whole shared stack (RPN loss, proposals, assign/sample, RoIAlign,
-        # trunks) — exact vs 3 sequential passes (no norm layers in the
-        # detection path) and ~3x fewer op dispatches at the reference's
-        # 1-img/dataset 'avg' allocation.
-        from mtp_tpu.tasks.detection import det_loss_multi
+        # The shared neck+RPN always run once over the concatenated batch;
+        # `det_multi` decides whether the per-dataset loss pipelines
+        # (proposals, assign/sample, RoIAlign, trunks, heads) run as one
+        # concatenated pass (exact — no norm layers couple samples) or as
+        # three per-dataset passes.  See the field docstring for the
+        # measured A/B that makes sequential the default here.
+        from mtp_tpu.heads.rpn import RPNOut
+        from mtp_tpu.tasks.detection import det_loss_core, det_loss_multi
         rngs = jax.random.split(rng, 2)
+
+        def _split_rpn(rpn_all, d):
+            return RPNOut(rpn_all.cls_scores[offs[d]:offs[d + 1]],
+                          rpn_all.deltas[offs[d]:offs[d + 1]])
+
         if "is" in self.tasks:
             feats_h_all, rpn_h_all = self.is_forward(enc)
-            tot, mets = det_loss_multi(
-                self.det_h_cfgs, anchors, (H, W), rpn_h_all,
-                self.is_box_multi_fn(feats_h_all),
-                self.is_mask_multi_fn(feats_h_all),
-                batches, rngs[0])
+            if self.det_multi:
+                tot, mets = det_loss_multi(
+                    self.det_h_cfgs, anchors, (H, W), rpn_h_all,
+                    self.is_box_multi_fn(feats_h_all),
+                    self.is_mask_multi_fn(feats_h_all),
+                    batches, rngs[0])
+            else:
+                tot, mets = 0.0, []
+                ks = jax.random.split(rngs[0], 3)
+                for d in range(3):
+                    fd = [lvl[offs[d]:offs[d + 1]] for lvl in feats_h_all]
+                    t, m = det_loss_core(
+                        self.det_h_cfgs[d], anchors, (H, W),
+                        _split_rpn(rpn_h_all, d), self.is_box_fn(fd, d),
+                        self.is_mask_fn(fd, d), batches[d], ks[d])
+                    tot, mets = tot + t, mets + [m]
             for d, m in enumerate(mets):
                 for k, v in m.items():
                     if k.startswith("loss"):
@@ -265,10 +290,21 @@ class MultiTaskPretrainModel(nn.Module):
                          "gt_boxes": b["r_gt_boxes"],
                          "gt_labels": b["r_gt_labels"],
                          "gt_valid": b["r_gt_valid"]} for b in batches]
-            tot, mets = det_loss_multi(
-                self.det_r_cfgs, anchors, (H, W), rpn_r_all,
-                self.rd_box_multi_fn(feats_r_all), None,
-                rbatches, rngs[1])
+            if self.det_multi:
+                tot, mets = det_loss_multi(
+                    self.det_r_cfgs, anchors, (H, W), rpn_r_all,
+                    self.rd_box_multi_fn(feats_r_all), None,
+                    rbatches, rngs[1])
+            else:
+                tot, mets = 0.0, []
+                ks = jax.random.split(rngs[1], 3)
+                for d in range(3):
+                    fd = [lvl[offs[d]:offs[d + 1]] for lvl in feats_r_all]
+                    t, m = det_loss_core(
+                        self.det_r_cfgs[d], anchors, (H, W),
+                        _split_rpn(rpn_r_all, d), self.rd_box_fn(fd, d),
+                        None, rbatches[d], ks[d])
+                    tot, mets = tot + t, mets + [m]
             for d, m in enumerate(mets):
                 for k, v in m.items():
                     if k.startswith("loss"):

@@ -11,6 +11,7 @@ analog here — sharding + bf16 + global-batch BN fall out of SPMD.
 """
 
 from __future__ import annotations
+import os
 
 from typing import Callable, Dict, Iterator, Optional, Sequence, Tuple
 
@@ -63,14 +64,20 @@ def allocate_batch_sizes(total: int, lengths: Sequence[int],
 class MultiTaskPretrainTask:
     def __init__(self, cfg: TaskConfig, classes=SAMRS_CLASSES,
                  det_overrides: Optional[dict] = None, mesh=None,
-                 tasks: Sequence[str] = ("ss", "is", "rd")):
+                 tasks: Sequence[str] = ("ss", "is", "rd"),
+                 det_multi: Optional[bool] = None):
         tasks = tuple(tasks)
         if not tasks or not set(tasks) <= {"ss", "is", "rd"}:
             raise ValueError(f"tasks must be a non-empty subset of "
                              f"('ss', 'is', 'rd'), got {tasks!r}")
+        if det_multi is None:
+            # measured default: sequential wins on the relay chip (see
+            # MultiTaskPretrainModel.det_multi); MTP_DET_MULTI=1 opts in
+            det_multi = bool(int(os.environ.get("MTP_DET_MULTI", "0")))
         self.cfg = cfg
         self.model = MultiTaskPretrainModel(cfg.backbone, tuple(classes),
-                                            det_overrides or {}, tasks=tasks)
+                                            det_overrides or {}, tasks=tasks,
+                                            det_multi=det_multi)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.train.mesh)
         s = cfg.backbone.img_size
         self.anchors = anchors_for(None, (s, s))
