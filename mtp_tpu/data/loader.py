@@ -108,12 +108,15 @@ def collate_multitask(samples: Sequence[Sample], max_gts: int,
     }
 
 
-def _mp_worker(dataset, collate, order, batch_size, nb, wid, nw, q):
+def _mp_worker(dataset, collate, order, batch_size, nb, wid, nw, q,
+               batch_rows=None):
     """One fork worker: builds every nw-th batch and ships it pickled.
     A trailing None marks end-of-stream; errors ship as a tagged tuple."""
     try:
         for b in range(wid, nb, nw):
             idxs = order[b * batch_size:(b + 1) * batch_size]
+            if batch_rows is not None:
+                idxs = idxs[batch_rows]
             q.put(collate([dataset[int(i)] for i in idxs]))
         q.put(None)
     except Exception as e:  # surface worker crashes to the consumer
@@ -134,7 +137,14 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, collate: Callable,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2, num_workers: int = 0):
+                 prefetch: int = 2, num_workers: int = 0,
+                 batch_rows: Optional[Sequence[int]] = None):
+        """batch_rows: multi-host feeding (reference DistributedSampler over
+        SLURM ranks, main_pretrain.py:236-251) — `batch_size` is the GLOBAL
+        batch; this process materializes only these row offsets of each
+        batch (from `parallel.mesh.process_batch_rows`).  Every process must
+        use the same seed so the epoch permutation agrees; coverage across
+        processes is disjoint and complete by construction."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -143,6 +153,19 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_workers = num_workers
+        self.batch_rows = (None if batch_rows is None
+                           else np.asarray(batch_rows, np.int64))
+        if self.batch_rows is not None and len(self.batch_rows) and \
+                (self.batch_rows.min() < 0
+                 or self.batch_rows.max() >= batch_size):
+            raise ValueError(f"batch_rows out of range for batch "
+                             f"{batch_size}: {batch_rows}")
+
+    def _batch_idxs(self, order: np.ndarray, b: int) -> np.ndarray:
+        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+        if self.batch_rows is not None:
+            idxs = idxs[self.batch_rows]
+        return idxs
 
     def __len__(self):
         n = len(self.dataset)
@@ -170,7 +193,7 @@ class Loader:
                 for b in range(nb):
                     if stop.is_set():
                         return
-                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    idxs = self._batch_idxs(order, b)
                     samples = [self.dataset[int(i)] for i in idxs]
                     q.put(self.collate(samples))
             finally:
@@ -198,7 +221,8 @@ class Loader:
         procs = [
             ctx.Process(target=_mp_worker,
                         args=(self.dataset, self.collate, order,
-                              self.batch_size, nb, w, nw, queues[w]),
+                              self.batch_size, nb, w, nw, queues[w],
+                              self.batch_rows),
                         daemon=True)
             for w in range(nw)]
         for p in procs:

@@ -55,6 +55,58 @@ def put_batch(mesh: Mesh, x) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Multi-host (multi-process) data feeding
+#
+# The reference feeds a pod with DistributedSampler over up to 32 SLURM
+# ranks (main_pretrain.py:236-251, Readme.md:233-240).  The TPU-native
+# equivalent (SURVEY §2.4 "per-host data loading replaces
+# DistributedSampler"): every process materializes ONLY the global-batch
+# rows its addressable devices own, and the global jax.Array is assembled
+# with `jax.make_array_from_process_local_data` — no cross-host data
+# movement, identical epoch permutation on every process (same seed).
+# ---------------------------------------------------------------------------
+
+
+def process_batch_rows(mesh: Mesh, global_batch: int) -> np.ndarray:
+    """Row indices of a global batch owned by THIS process under
+    `batch_sharding(mesh)` — the per-host slice of the reference's
+    DistributedSampler.  Derived from the sharding's addressable-shard
+    index map, so it stays correct for any device→process layout."""
+    if global_batch % mesh.shape.get(DATA_AXIS, 1):
+        raise ValueError(
+            f"global batch {global_batch} must divide the data axis "
+            f"({mesh.shape.get(DATA_AXIS, 1)})")
+    sh = batch_sharding(mesh)
+    imap = sh.addressable_devices_indices_map((global_batch,))
+    rows = set()
+    for idx in imap.values():
+        rows.update(range(*idx[0].indices(global_batch)))
+    return np.asarray(sorted(rows), np.int64)
+
+
+def put_global_batch(mesh: Mesh, x, global_batch: Optional[int] = None
+                     ) -> jax.Array:
+    """Assemble a GLOBAL batch array from this process's local rows.
+
+    Single-process: plain sharded device_put (same as put_batch).
+    Multi-process: `jax.make_array_from_process_local_data` — `x` must be
+    exactly the rows `process_batch_rows(mesh, global_batch)` in order."""
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return put_batch(mesh, x)
+    gb = (global_batch if global_batch is not None
+          else x.shape[0] * jax.process_count())
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), x, (gb,) + x.shape[1:])
+
+
+def put_global_tree(mesh: Mesh, tree, global_batch: Optional[int] = None):
+    """put_global_batch over every leaf of a batch dict/pytree."""
+    return jax.tree_util.tree_map(
+        lambda v: put_global_batch(mesh, v, global_batch), tree)
+
+
+# ---------------------------------------------------------------------------
 # Parameter sharding rules (tensor parallelism)
 #
 # Megatron-style: column-parallel for qkv / mlp-in (shard output features),
@@ -64,9 +116,12 @@ def put_batch(mesh: Mesh, x) -> jax.Array:
 
 # (regex over "a/b/c" param path, PartitionSpec factory applied to the leaf)
 _TP_RULES = [
-    # attention qkv & mlp up-projection: shard last (output-feature) dim
+    # attention qkv & mlp up-projection: shard last (output-feature) dim.
+    # ndim-aware on bias too: under the scan layout biases are STACKED
+    # (n_blocks, features) — the model axis must land on the feature dim,
+    # not the block-stack dim (which need not divide the TP degree).
     (re.compile(r"(qkv|fc1)/kernel$"), lambda ndim: P(*([None] * (ndim - 1) + [MODEL_AXIS]))),
-    (re.compile(r"(qkv|fc1)/bias$"), lambda ndim: P(MODEL_AXIS)),
+    (re.compile(r"(qkv|fc1)/bias$"), lambda ndim: P(*([None] * (ndim - 1) + [MODEL_AXIS]))),
     # attention output proj & mlp down-projection: shard first-of-last-two (input) dim
     (re.compile(r"(attn/proj|fc2)/kernel$"), lambda ndim: P(*([None] * (ndim - 2) + [MODEL_AXIS, None]))),
 ]
