@@ -188,6 +188,118 @@ def _split_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarra
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
+def convert_mask_trunk(sd: Dict[str, np.ndarray],
+                       prefix: str = "roi_head.mask_head.",
+                       num_convs: int = 4) -> dict:
+    """mmdet FCNMaskHead trunk (convs.{i}.conv + deconv upsample; the final
+    conv_logits is external in the MTP pretrainer) → heads/roi_heads.
+    FCNMaskTrunk params.  torch ConvTranspose2d (in, out, kh, kw) → flax
+    ConvTranspose (kh, kw, in, out)."""
+    p = {}
+    g = lambda k: prefix + k
+    for i in range(num_convs):
+        _conv(sd, g(f"convs.{i}.conv"), p, f"conv_{i}")
+    w = _t(sd[g("upsample.weight")])
+    _put(p, "upsample/kernel", np.ascontiguousarray(w.transpose(2, 3, 0, 1)))
+    if g("upsample.bias") in sd:
+        _put(p, "upsample/bias", sd[g("upsample.bias")])
+    return p
+
+
+def _shared2fc_trunk(sd: Dict[str, np.ndarray], prefix: str,
+                     roi_size: int = 7) -> dict:
+    """Shared2FC trunk only (the MTP pretrainer externalizes fc_cls/fc_reg,
+    reference models.py:156-190 — the decoder bbox_head carries just
+    shared_fcs.{0,1})."""
+    p = {}
+    g = lambda k: prefix + k
+    channels = _t(sd[g("shared_fcs.0.weight")]).shape[1] // (roi_size ** 2)
+    _dense_hwc(sd, g("shared_fcs.0"), p, "fc1", roi_size, channels)
+    _dense(sd, g("shared_fcs.1"), p, "fc2")
+    return p
+
+
+def convert_multitask_checkpoint(path: str, cfg: BackboneConfig,
+                                 grid: Optional[Tuple[int, int]] = None
+                                 ) -> dict:
+    """Released FULL MTP pretraining checkpoint (main_pretrain.py:823-829
+    saves the 9-head `MutliTaskPretrnFramework` state_dict) → flax variables
+    for models/multitask.MultiTaskPretrainModel — enables warm-starting our
+    pretraining or a 9-way eval from the released artifact (the encoder-only
+    sibling converts via ckpt/torch_convert.py already).
+
+    torch key families (reference models.py:112-190):
+      encoder.*                                → encoder
+      semsegdecoder.decode_head.*              → ss_trunk (+ batch_stats)
+      semseghead_{d+1}.1.*                     → ss_head_{d}  (Sequential:
+                                                 0=Dropout2d, 1=Conv2d)
+      inssegdecoder.neck|rpn_head|roi_head.*   → is_neck/is_rpn/is_bbox_trunk
+                                                 /is_mask_trunk
+      inssegroiboxhead_fc_{cls,reg}{d+1}       → is_fc_{cls,reg}_{d}
+      inssegroimaskhead_conv{d+1}              → is_mask_conv_{d}
+      rotdetdecoder.*                          → rd_neck/rd_rpn/rd_bbox_trunk
+      rotdetroiboxhead_fc_{cls,reg}{d+1}       → rd_fc_{cls,reg}_{d}
+    """
+    sd = load_torch_checkpoint(path)
+    bb_sd = _split_prefix(sd, "encoder.")
+    if cfg.name.startswith("internimage"):
+        from mtp_tpu.ckpt.torch_convert import (convert_internimage,
+                                                to_stage_scan_layout)
+        depths = (5, 5, 24, 5) if cfg.name.endswith("xl") else (4, 4, 18, 4)
+        backbone = convert_internimage(bb_sd, depths)
+        if cfg.scan:
+            backbone = to_stage_scan_layout(backbone, depths)
+    else:
+        backbone = convert_backbone(bb_sd, cfg, grid)
+        if cfg.scan:
+            backbone = to_scan_layout(backbone, cfg.depth, cfg.interval)
+
+    params: dict = {"encoder": backbone}
+    stats: dict = {}
+
+    # semantic segmentation: shared UperNet trunk (SyncBN stats) + 3 heads.
+    # The torch UPerHead is built with num_classes=1, so its conv_seg exists
+    # in the checkpoint but is never used (per-dataset heads replace it,
+    # models.py:345-351) — dropped here (our trunk has with_classifier=False).
+    trunk_p, trunk_s = convert_upernet_head(sd, "semsegdecoder.decode_head.")
+    trunk_p.pop("conv_seg", None)
+    params["ss_trunk"], stats["ss_trunk"] = trunk_p, trunk_s
+    for d in range(3):
+        hp = {}
+        _conv(sd, f"semseghead_{d + 1}.1", hp, ".")
+        params[f"ss_head_{d}"] = hp["."]
+
+    # instance segmentation (Mask R-CNN with externalized finals)
+    params["is_neck"] = convert_fpn_neck(sd, "inssegdecoder.neck.")
+    params["is_rpn"] = convert_rpn_head(sd, "inssegdecoder.rpn_head.")
+    params["is_bbox_trunk"] = _shared2fc_trunk(
+        sd, "inssegdecoder.roi_head.bbox_head.")
+    params["is_mask_trunk"] = convert_mask_trunk(
+        sd, "inssegdecoder.roi_head.mask_head.")
+    for d in range(3):
+        pc, pr, pm = {}, {}, {}
+        _dense(sd, f"inssegroiboxhead_fc_cls{d + 1}", pc, ".")
+        _dense(sd, f"inssegroiboxhead_fc_reg{d + 1}", pr, ".")
+        _conv(sd, f"inssegroimaskhead_conv{d + 1}", pm, ".")
+        params[f"is_fc_cls_{d}"] = pc["."]
+        params[f"is_fc_reg_{d}"] = pr["."]
+        params[f"is_mask_conv_{d}"] = pm["."]
+
+    # rotated detection (Oriented R-CNN with externalized finals)
+    params["rd_neck"] = convert_fpn_neck(sd, "rotdetdecoder.neck.")
+    params["rd_rpn"] = convert_rpn_head(sd, "rotdetdecoder.rpn_head.")
+    params["rd_bbox_trunk"] = _shared2fc_trunk(
+        sd, "rotdetdecoder.roi_head.bbox_head.")
+    for d in range(3):
+        pc, pr = {}, {}
+        _dense(sd, f"rotdetroiboxhead_fc_cls{d + 1}", pc, ".")
+        _dense(sd, f"rotdetroiboxhead_fc_reg{d + 1}", pr, ".")
+        params[f"rd_fc_cls_{d}"] = pc["."]
+        params[f"rd_fc_reg_{d}"] = pr["."]
+
+    return {"params": params, "batch_stats": {"ss_trunk": trunk_s}}
+
+
 def convert_full_checkpoint(path: str, task: str, cfg: BackboneConfig,
                             grid: Optional[Tuple[int, int]] = None) -> dict:
     """Released finetuned checkpoint → flax variables for the matching task
@@ -198,6 +310,8 @@ def convert_full_checkpoint(path: str, task: str, cfg: BackboneConfig,
     The torch tree is `backbone.* + head/neck/rpn/roi keys` (mm convention);
     the flax tree nests under the module names used by models/*.py.
     """
+    if task == "multitask":
+        return convert_multitask_checkpoint(path, cfg, grid)
     sd = load_torch_checkpoint(path)
     bb_sd = _split_prefix(sd, "backbone.")
     if cfg.name.startswith("internimage"):

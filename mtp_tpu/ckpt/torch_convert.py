@@ -42,9 +42,12 @@ def strip_prefixes(sd: Dict[str, "np.ndarray"]) -> Dict[str, "np.ndarray"]:
     if keys and keys[0].startswith("module."):
         sd = {k[len("module."):]: v for k, v in sd.items()}
         keys = sorted(sd.keys())
-    if keys and keys[0].startswith("encoder"):
-        sd = {k[len("encoder."):]: v for k, v in sd.items()
-              if k.startswith("encoder.")}
+    # encoder-only artifacts (every key under encoder.) lose the prefix; a
+    # FULL pretrain state_dict (encoder.* + semsegdecoder.* + ...) must keep
+    # it — its first sorted key also starts with "encoder.", so the check
+    # has to be all(), not keys[0]
+    if keys and all(k.startswith("encoder.") for k in keys):
+        sd = {k[len("encoder."):]: v for k, v in sd.items()}
     return sd
 
 

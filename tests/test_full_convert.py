@@ -500,3 +500,118 @@ def test_validate_runbook_detection_end_to_end(tmp_path):
     rec = json.loads(out.read_text())
     assert rec["metric"] == "mAP" and "delta" in rec
     assert np.isfinite(rec["ours"])
+
+
+# ---------------------------------------------------------------------------
+# Full MTP-pretrain checkpoint (9-head multitask) — round 5, VERDICT r4
+# missing #4: main_pretrain.py:823-829 saves the whole
+# MutliTaskPretrnFramework state_dict; converting it enables warm-starting
+# our pretraining / 9-way eval from the released artifact.
+# ---------------------------------------------------------------------------
+
+
+def _multitask_sd(rng, cfg, classes=(3, 4, 5)):
+    import torch
+
+    t = lambda *s: torch.from_numpy(
+        rng.standard_normal(s).astype("float32") * 0.1)
+    sd = {f"encoder.{k}": v for k, v in _rvsa_torch_sd(cfg, rng).items()}
+    # UPerHead trunk: built with num_classes=1 in the reference (its
+    # conv_seg is dead — per-dataset heads replace it, models.py:345-351)
+    up = _upernet_torch_sd(rng, in_ch=cfg.embed_dim, ch=256, ncls=1)
+    sd.update({f"semsegdecoder.{k}": v for k, v in up.items()})
+    for d, c in enumerate(classes):
+        sd[f"semseghead_{d + 1}.1.weight"] = t(c, 256, 1, 1)
+        sd[f"semseghead_{d + 1}.1.bias"] = t(c)
+
+    def two_stage_trunk(delta_dim):
+        two = _two_stage_sd(rng, in_ch=cfg.embed_dim, ch=256, num_classes=1,
+                            delta_dim=delta_dim)
+        return {k: v for k, v in two.items()
+                if ".fc_cls." not in k and ".fc_reg." not in k}
+
+    sd.update({f"inssegdecoder.{k}": v
+               for k, v in two_stage_trunk(4).items()})
+    for i in range(4):
+        sd[f"inssegdecoder.roi_head.mask_head.convs.{i}.conv.weight"] = \
+            t(256, 256, 3, 3)
+        sd[f"inssegdecoder.roi_head.mask_head.convs.{i}.conv.bias"] = t(256)
+    sd["inssegdecoder.roi_head.mask_head.upsample.weight"] = t(256, 256, 2, 2)
+    sd["inssegdecoder.roi_head.mask_head.upsample.bias"] = t(256)
+    for d, c in enumerate(classes):
+        sd[f"inssegroiboxhead_fc_cls{d + 1}.weight"] = t(c, 1024)
+        sd[f"inssegroiboxhead_fc_cls{d + 1}.bias"] = t(c)
+        sd[f"inssegroiboxhead_fc_reg{d + 1}.weight"] = t((c - 1) * 4, 1024)
+        sd[f"inssegroiboxhead_fc_reg{d + 1}.bias"] = t((c - 1) * 4)
+        sd[f"inssegroimaskhead_conv{d + 1}.weight"] = t(c - 1, 256, 1, 1)
+        sd[f"inssegroimaskhead_conv{d + 1}.bias"] = t(c - 1)
+
+    sd.update({f"rotdetdecoder.{k}": v
+               for k, v in two_stage_trunk(6).items()})
+    for d, c in enumerate(classes):
+        sd[f"rotdetroiboxhead_fc_cls{d + 1}.weight"] = t(c, 1024)
+        sd[f"rotdetroiboxhead_fc_cls{d + 1}.bias"] = t(c)
+        sd[f"rotdetroiboxhead_fc_reg{d + 1}.weight"] = t(5, 1024)
+        sd[f"rotdetroiboxhead_fc_reg{d + 1}.bias"] = t(5)
+    return sd
+
+
+def test_multitask_full_checkpoint_golden(tmp_path):
+    import torch
+
+    from mtp_tpu.ckpt.full_convert import convert_full_checkpoint
+    from mtp_tpu.models.multitask import MultiTaskPretrainModel
+
+    rng = np.random.default_rng(7)
+    cfg = _tiny_cfg()
+    classes = (3, 4, 5)
+    sd = _multitask_sd(rng, cfg, classes)
+    path = str(tmp_path / "full_pretrain.pth")
+    torch.save({"epoch": 1, "iteration": 100, "state_dict": sd}, path)
+
+    model = MultiTaskPretrainModel(cfg, classes)
+    want = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3)))
+    got = convert_full_checkpoint(path, "multitask", cfg)
+    _assert_same_tree(got["params"], jax.tree.map(np.asarray,
+                                                  want["params"]))
+    _assert_same_tree(got["batch_stats"],
+                      jax.tree.map(np.asarray, want["batch_stats"]))
+
+    # warm-start smoke: the converted variables drive the REAL 9-way loss
+    # to a finite value (predict/loss paths consume every converted family)
+    from mtp_tpu.tasks.detection import anchors_for
+    anchors = anchors_for(None, (64, 64))
+    G = 4
+    r2 = np.random.default_rng(1)
+    batches = []
+    for c in classes:
+        xy = r2.uniform(8, 30, (1, G, 2))
+        wh = r2.uniform(12, 24, (1, G, 2))
+        valid = np.ones((1, G), bool)
+        batches.append({
+            "image": r2.standard_normal((1, 64, 64, 3)).astype(np.float32),
+            "ss_label": r2.integers(0, c, (1, 64, 64)).astype(np.int32),
+            "gt_boxes": np.concatenate([xy, xy + wh], -1).astype(np.float32),
+            "gt_labels": r2.integers(0, c - 1, (1, G)).astype(np.int32),
+            "gt_valid": valid,
+            "gt_masks": np.ones((1, G, 16, 16), np.float32),
+            "r_gt_boxes": np.stack(
+                [r2.uniform(16, 48, (1, G)), r2.uniform(16, 48, (1, G)),
+                 r2.uniform(10, 18, (1, G)), r2.uniform(5, 8, (1, G)),
+                 r2.uniform(-1.2, 1.2, (1, G))], -1).astype(np.float32),
+            "r_gt_labels": r2.integers(0, c - 1, (1, G)).astype(np.int32),
+            "r_gt_valid": valid.copy(),
+        })
+    import dataclasses as _dc
+    model_small = MultiTaskPretrainModel(
+        cfg, classes, det_overrides=dict(nms_pre=64, max_proposals=16,
+                                         rpn_num=16, rcnn_num=8,
+                                         max_per_img=4, max_gts=G))
+    variables = {"params": got["params"], "batch_stats": got["batch_stats"]}
+    (total, losses), _ = model_small.apply(
+        jax.tree.map(jnp.asarray, variables),
+        [jax.tree.map(jnp.asarray, b) for b in batches],
+        jax.random.PRNGKey(0), anchors, False,
+        method=MultiTaskPretrainModel.loss,
+        rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"])
+    assert np.isfinite(float(total)), losses
