@@ -177,3 +177,130 @@ def test_zero_detections():
           "gt_masks": np.ones((1, 16, 16), np.uint8)}
     r = evaluate_coco_bbox_segm([im], num_classes=1)
     assert r["mAP"] == 0.0 and r["segm_mAP"] == 0.0 and r["AR@100"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Adversarial interaction corners (round 5, VERDICT r4 item 9): joint
+# crowd × area-range × maxDets cases — the classic spots where COCOeval
+# reimplementations diverge.  All values hand-derived; pycocotools is not
+# installable here, so the fixture set is the oracle.
+# ---------------------------------------------------------------------------
+
+
+def test_det_spills_across_area_ranges():
+    """A SMALL det matching a MEDIUM gt: in the 'medium' range the match
+    counts as TP (matched dets are never area-filtered — only UNMATCHED
+    out-of-area dets are ignored); in the 'small' range the gt is
+    out-of-range so the det matches an area-ignored gt and is ignored with
+    it, leaving npig=0 → AP_s stays -1 (undefined), NOT 0."""
+    # det 20x20 = 400 px² (small); gt 40x40 = 1600 px² (medium);
+    # IoU = 400/1600 = 0.25 < 0.5... use near-identical boxes instead:
+    # det 30x33 = 990 px² (small, < 1024); gt 34x34 = 1156 px² (medium).
+    # IoU = (30*33)/(34*34) = 990/1156 = 0.856 (det inside gt)
+    im = {**det([[10, 10, 40, 43]], [0.9], [0]),
+          **gt([[8, 9, 42, 43]], [0])}
+    r = evaluate_coco([im], num_classes=1)
+    # IoU = 990/1156 = 0.856 → TP at thresholds .50-.85 (8 of 10)
+    assert r["AP_m"] == 80.0, r       # matched despite small det area
+    assert r["AP_s"] == -1.0, r       # no in-range gts → undefined
+    np.testing.assert_allclose(r["AP50"], 100.0, atol=1e-6)
+    assert r["mAP"] == 80.0, r
+
+
+def test_crowd_outside_area_range_still_absorbs():
+    """crowd × area: a LARGE crowd gt (out of the 'small' range) must still
+    absorb a small det in the small-area evaluation — crowd⇒ignore makes
+    the det ignored, not FP, so the small range's real gt keeps AP 100."""
+    im = {**det([[10, 10, 40, 40],      # 30x30=900 px² small, matches gt0
+                 [100, 100, 125, 125]],  # 25x25 inside the crowd
+                [0.9, 0.8], [0, 0]),
+          **gt([[10, 10, 40, 40],        # small real gt
+                [95, 95, 225, 225]],     # 130x130=16900 px² large CROWD
+               [0, 0], gt_crowd=[False, True])}
+    r = evaluate_coco([im], num_classes=1)
+    assert r["AP_s"] == 100.0, r      # crowd absorbed the stray det
+    assert r["AP50"] == 100.0, r
+    # large range: only the crowd gt lives there and crowd⇒ignore → npig=0
+    assert r["AP_l"] == -1.0, r
+
+
+def test_maxdets_truncation_before_ignore():
+    """maxDets × area: truncation to maxDet happens BEFORE ignore
+    resolution — at AR@1 a higher-scoring det that would be ignored
+    (unmatched + out-of-area... here: matched-to-crowd) crowds out the
+    true match, so AR@1 = 0 while AR@10 = 100."""
+    im = {**det([[100, 100, 140, 140],   # score .9 → inside crowd, ignored
+                 [10, 10, 50, 50]],      # score .8 → true match
+                [0.9, 0.8], [0, 0]),
+          **gt([[10, 10, 50, 50],
+                [95, 95, 145, 145]], [0, 0], gt_crowd=[False, True])}
+    r = evaluate_coco([im], num_classes=1)
+    assert r["AR@1"] == 0.0, r        # the kept det matched only the crowd
+    assert r["AR@10"] == 100.0, r
+    assert r["AP50"] == 100.0, r      # full sweep still clean
+
+
+def test_crowd_rematch_after_real_gt_taken():
+    """Crowd re-matching: gt0 (real) is taken by the best det; the second
+    det overlapping BOTH may re-match the already-used crowd gt (crowd gts
+    stay matchable) and is ignored — precision stays 1.0, AP 100."""
+    # det1 overlaps gt0 at IoU 0.6 and the crowd at 0.55; det0 takes gt0
+    # first (higher score), so det1's only live candidates: gt0 (taken,
+    # non-crowd → skipped) and the crowd (re-matchable → ignored)
+    im = {**det([[10, 10, 50, 50], [10, 18, 50, 50]],
+                [0.9, 0.8], [0, 0]),
+          **gt([[10, 10, 50, 50], [10, 14, 50, 52]], [0, 0],
+               gt_crowd=[False, True])}
+    r = evaluate_coco([im], num_classes=1)
+    assert r["AP50"] == 100.0, r
+    assert r["AR@10"] == 100.0, r
+
+
+def test_nonignored_match_beats_higher_iou_ignored():
+    """Ignore-ordering: gts are sorted non-ignored first and the scan stops
+    at the ignored region once a non-ignored match is held — a det whose
+    IoU is HIGHER with an ignored gt must still match the (lower-IoU,
+    above-threshold) real gt and count as TP."""
+    # det IoU vs real gt: (40·25)/(40·40) = 0.625 (det inside gt)
+    # det IoU vs ignored gt: exact duplicate → 1.0
+    im = {**det([[0, 0, 40, 25]], [0.9], [0]),
+          **gt([[0, 0, 40, 40],       # real
+                [0, 0, 40, 25]],      # ignored duplicate at IoU 1.0
+               [0, 0], gt_ignore=[False, True])}
+    r = evaluate_coco([im], num_classes=1)
+    # the real gt is matched → recall 1 at IoU .50/.55/.60; at .65+ the
+    # 0.625 match fails and the det falls to the ignored gt (IoU 1.0) →
+    # ignored, so precision records no FP rather than a miss
+    assert r["AP50"] == 100.0, r
+    assert r["AP75"] == 0.0, r        # no real match at 0.75, npig=1 → AP 0
+    assert r["AR@100"] == 30.0, r     # 3 of 10 IoU thresholds recall the gt
+
+
+def test_crowd_area_maxdets_joint_sweep():
+    """Joint crowd × area × maxDets: two images, mixed sizes.  Hand-derived:
+    - img0: small real gt found (TP .9), medium crowd absorbs one det (.8)
+    - img1: medium real gt found (TP .7), plus an unmatched out-of-area
+      (large) det (.6) that is ignored ONLY in the small/medium ranges and
+      counts as FP in 'all'/'large'.
+    all-range AP: recs at [.9 TP, .7 TP, .6 FP] → prec env [1, 1, 2/3],
+    AP = 100·(51+50·(2/3))/101... with 2 gts: rec .5 at tp1, 1.0 at tp2 →
+    envelope 1.0 up to rec 1.0 (FP comes after) → AP(all) = 100."""
+    im0 = {**det([[10, 10, 38, 38],        # 28x28=784 small → TP on gt0
+                  [100, 100, 130, 130]],   # inside medium crowd → ignored
+                 [0.9, 0.8], [0, 0]),
+           **gt([[10, 10, 38, 38],
+                 [95, 95, 160, 160]],      # 65x65=4225 medium CROWD
+                [0, 0], gt_crowd=[False, True])}
+    im1 = {**det([[20, 20, 60, 60],        # 40x40 medium → TP on gt0
+                  [200, 200, 320, 320]],   # 120x120=14400 large, unmatched
+                 [0.7, 0.6], [0, 0]),
+           **gt([[20, 20, 60, 60]], [0])}
+    r = evaluate_coco([im0, im1], num_classes=1)
+    assert r["AP50"] == 100.0, r          # FP sits past full recall
+    assert r["AP_s"] == 100.0, r          # small range: img0's real gt only
+    # medium range: img1's gt is the only in-range gt; img0's crowd is
+    # ignored; the large det is out-of-range-unmatched → ignored
+    assert r["AP_m"] == 100.0, r
+    assert r["AP_l"] == -1.0, r           # no in-range real gts anywhere
+    # AR@1 keeps only the top-scoring det per image: img0 .9 TP; img1 .7 TP
+    assert r["AR@1"] == 100.0, r
