@@ -108,7 +108,12 @@ def bench_pretrain():
     size = int(os.environ.get("BENCH_PRETRAIN_SIZE", "448"))
     per_ds = int(os.environ.get("BENCH_PRETRAIN_BS", "1"))  # per dataset
     iters = int(os.environ.get("BENCH_PRETRAIN_ITERS", "8"))
-    remat = os.environ.get("BENCH_PRETRAIN_REMAT", "1") == "1"
+    # remat default OFF: the reference needs use_ckpt=True to fit (torch
+    # materializes (B,nH,N,N) scores); our Pallas kernels never materialize
+    # them, bs3 448² ViT-L fits in HBM, and no-remat measures 477 vs 534
+    # ms/step (PERF.md round 5).  BENCH_PRETRAIN_REMAT=1 restores parity
+    # with the reference protocol's memory regime.
+    remat = os.environ.get("BENCH_PRETRAIN_REMAT", "0") == "1"
     B = 3 * per_ds
 
     log(f"bench[pretrain]: devices={jax.devices()} backbone={name} "

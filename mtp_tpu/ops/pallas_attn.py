@@ -188,6 +188,103 @@ def _win_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
                           p * Np:(p + 1) * Np].astype(db_ref.dtype)
 
 
+# Above this padded token count the one-shot backward's ~6 (Np, Np) f32
+# temporaries exceed the 16 MB scoped-VMEM budget (first hit: N=784, the
+# 448² full-attention blocks — 17.8 MB); switch to the q-blocked variant.
+_WIN_BWD_ONE_SHOT_MAX = 512
+_WQBLK_B = 128
+
+
+def _win_bwd_qblk_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                         dq_ref, db_ref, dk_ref, dv_ref, *, scale: float,
+                         n_valid: int):
+    """Q-blocked window backward for large single-window N (the 448²-784 /
+    intermediate full-attention shapes): K/V stay VMEM-resident per (w, h),
+    scores are recomputed per q tile, dK/dV accumulate across q tiles into
+    a resident f32 output block (q-block axis is the minor grid dim).  Same
+    VJP math as `_win_bwd_kernel`; temporaries are (QB, Np) instead of
+    (Np, Np)."""
+    i = pl.program_id(2)
+    f32 = jnp.float32
+    q = q_ref[0, 0].astype(f32)        # (QB, Dp)
+    k = k_ref[0, 0].astype(f32)        # (Np, Dp)
+    v = v_ref[0, 0].astype(f32)
+    do = do_ref[0, 0].astype(f32)      # (QB, Dp)
+    b = bias_ref[0, 0]                 # (QB, Np) f32
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=f32) * scale + b
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p_ = jnp.exp(s - m)
+    pn = p_ / jnp.sum(p_, axis=-1, keepdims=True)        # (QB, Np)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    delta = jnp.sum(pn * dp, axis=-1, keepdims=True)
+    ds = pn * (dp - delta)
+
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    db_ref[0, 0] = ds.astype(db_ref.dtype)
+
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32) * scale
+    dv = jax.lax.dot_general(pn, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0, 0] = dk
+        dv_ref[0, 0] = dv
+
+    @pl.when(i > 0)
+    def _acc():
+        dk_ref[0, 0] += dk
+        dv_ref[0, 0] += dv
+
+
+def _win_backward_qblocked(q, k, v, bias, g, scale, interpret):
+    W, H, N, D = q.shape
+    Np = _round_up(N, 128)
+    Nqp = _round_up(N, _WQBLK_B)
+    Dp = _round_up(D, 128)
+
+    def pad(t, n3, n4):
+        return jnp.pad(t, ((0, 0), (0, 0), (0, n3 - t.shape[2]),
+                           (0, n4 - t.shape[3])))
+
+    qp = pad(q, Nqp, Dp)
+    kp = pad(k, Np, Dp)
+    vp = pad(v, Np, Dp)
+    bp = pad(bias.astype(jnp.float32), Nqp, Np)
+    gp = pad(g.astype(q.dtype), Nqp, Dp)  # padded cotangent rows are zero
+
+    qspec = pl.BlockSpec((1, 1, _WQBLK_B, Dp), lambda w, h, i: (w, h, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, Np, Dp), lambda w, h, i: (w, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, 1, _WQBLK_B, Np), lambda w, h, i: (w, h, i, 0),
+                         memory_space=pltpu.VMEM)
+    dq, db, dk, dv = pl.pallas_call(
+        functools.partial(_win_bwd_qblk_kernel, scale=scale, n_valid=N),
+        out_shape=(jax.ShapeDtypeStruct((W, H, Nqp, Dp), q.dtype),
+                   jax.ShapeDtypeStruct((W, H, Nqp, Np), jnp.float32),
+                   jax.ShapeDtypeStruct((W, H, Np, Dp), jnp.float32),
+                   jax.ShapeDtypeStruct((W, H, Np, Dp), jnp.float32)),
+        grid=(W, H, Nqp // _WQBLK_B),
+        in_specs=[qspec, kvspec, kvspec, bspec, qspec],
+        out_specs=(qspec, bspec, kvspec, kvspec),
+        interpret=interpret,
+    )(qp, kp, vp, bp, gp)
+    return (dq[:, :, :N, :D],
+            dk[:, :, :N, :D].astype(k.dtype),
+            dv[:, :, :N, :D].astype(v.dtype),
+            db[:, :, :N, :N].astype(bias.dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _fused_backward(q: Array, k: Array, v: Array, bias: Array, g: Array,
                     scale: float, interpret: bool = False):
@@ -202,6 +299,8 @@ def _fused_backward(q: Array, k: Array, v: Array, bias: Array, g: Array,
     pack = 128 // _round_up(N, 64) if N <= 64 else 1
     if os.environ.get("MTP_ATTN_NO_PACK"):
         pack = 1
+    if pack == 1 and Np > _WIN_BWD_ONE_SHOT_MAX:
+        return _win_backward_qblocked(q, k, v, bias, g, scale, interpret)
     if pack > 1:
         Np = _round_up(N, 64)
         Wp = _round_up(W, pack)

@@ -330,3 +330,25 @@ def test_jnp_bwd_env_fallback(monkeypatch):
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
                                    rtol=1e-3)
+
+
+def test_win_bwd_qblocked_large_n():
+    """N=784 (448² full-attention shape) routes to the q-blocked backward
+    (the one-shot kernel's (N,N) f32 temporaries blow scoped VMEM there);
+    gradients must still match the dense oracle, including dk/dv
+    accumulation across 7 q-blocks and padded q rows (784 -> 896)."""
+    from mtp_tpu.ops.pallas_attn import _WIN_BWD_ONE_SHOT_MAX
+    rng = np.random.default_rng(15)
+    W, H, N, D = 1, 2, 784, 32
+    assert N > _WIN_BWD_ONE_SHOT_MAX
+    mk = lambda: jnp.asarray(rng.standard_normal((W, H, N, D)), jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    bias = jnp.asarray(rng.standard_normal((W, H, N, N)) * 0.1, jnp.float32)
+    gp = jax.grad(lambda *a: jnp.sum(
+        fused_window_attention(*a, 0.125, True) ** 2),
+        argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(lambda *a: jnp.sum(jnp_reference(*a, 0.125) ** 2),
+                  argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for i, (a, b) in enumerate(zip(gp, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=2e-3, err_msg=f"cotangent {i}")
