@@ -105,9 +105,14 @@ class FullAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nH, N, hd)
 
         q = q * scale
-        if self.pallas and H * W > 1024:
-            # large grids (448²+ images): q-blocked flash kernel — the
-            # (N, N) scores/bias never hit HBM (VMEM-unsafe in one cell)
+        if self.pallas and max(H, W) <= 128:
+            # q-blocked flash kernel at EVERY grid size: the (N, N)
+            # scores/bias never hit HBM.  Originally gated to H*W > 1024
+            # (VMEM safety of the one-cell window kernel); measured round 5,
+            # flash also wins below the gate — 2.67 vs 8.24 ms fwd+bwd at
+            # N=784 (448² bs3) and 2.12 vs 3.62 ms at N=196 (224² bs8) —
+            # because the window path materializes the (B, nH, N, N)
+            # decomposed bias in HBM for both passes.
             from mtp_tpu.ops.pallas_attn import flash_full_attention
             from mtp_tpu.ops.rel_pos import decomposed_rel_pos_factors
             rel_h, rel_w = decomposed_rel_pos_factors(
@@ -117,6 +122,9 @@ class FullAttention(nn.Module):
                                        f(rel_w), (H, W), 1.0)
             out = out.reshape(B, nH, H * W, hd).astype(self.dtype)
         elif self.pallas:
+            # >128-per-axis grids (2048²+ images): rel-pos expansion rows
+            # exceed the kernel's _REL_PAD — fall back to the fused window
+            # kernel with a materialized decomposed bias
             from mtp_tpu.ops.pallas_attn import fused_window_attention
             from mtp_tpu.ops.rel_pos import decomposed_rel_pos_bias
             bias = decomposed_rel_pos_bias(q, (H, W), (H, W),
