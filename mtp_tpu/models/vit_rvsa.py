@@ -235,8 +235,10 @@ class RVSAAttention(nn.Module):
         # --- bilinear K/V gather on the learned grids ----------------------
         k_flat = k.reshape(B * nH, Hp, Wp, hd)
         v_flat = v.reshape(B * nH, Hp, Wp, hd)
-        k_sel = grid_sample(k_flat, grid, align_corners=True, padding_mode="zeros")
-        v_sel = grid_sample(v_flat, grid, align_corners=True, padding_mode="zeros")
+        k_sel = grid_sample(k_flat, grid, align_corners=True,
+                            padding_mode="zeros", pallas=self.pallas)
+        v_sel = grid_sample(v_flat, grid, align_corners=True,
+                            padding_mode="zeros", pallas=self.pallas)
 
         # --- windowed attention -------------------------------------------
         def to_windows(t, w):

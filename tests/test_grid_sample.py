@@ -67,3 +67,33 @@ def test_grad_matches_torch():
     np.testing.assert_allclose(np.asarray(gi), t_img.grad.permute(0, 2, 3, 1).numpy(),
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gg), t_grid.grad.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_tier_matches_gather(monkeypatch):
+    """pallas=True (dcnv3_sample one-tap tier) matches the gather path in
+    values and in img/grid gradients, including out-of-bounds coordinates
+    under zeros padding (interpret mode on CPU)."""
+    monkeypatch.setenv("MTP_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((2, 9, 11, 5)), jnp.float32)
+    grid = jnp.asarray(rng.uniform(-1.3, 1.3, (2, 6, 7, 2)), jnp.float32)
+
+    for ac in (True, False):
+        a = grid_sample(img, grid, align_corners=ac)
+        b = grid_sample(img, grid, align_corners=ac, pallas=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=f"ac={ac}")
+
+    def loss(fn):
+        def f(im, g):
+            out = fn(im, g)
+            return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+        return f
+
+    gi, gg = jax.grad(loss(grid_sample), argnums=(0, 1))(img, grid)
+    pi, pg = jax.grad(loss(lambda im, g: grid_sample(im, g, pallas=True)),
+                      argnums=(0, 1))(img, grid)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(pi), atol=1e-3,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(pg), atol=1e-2,
+                               rtol=1e-3)
