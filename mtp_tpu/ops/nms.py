@@ -99,15 +99,30 @@ def nms(boxes: Array, scores: Array, iou_thr: float,
 def nms_batched(boxes: Array, scores: Array, iou_thr: float,
                 max_out: int, iou_fn: Callable[[Array, Array], Array] = None,
                 block: int = 128) -> Tuple[Array, Array]:
-    """Natively batched fixed-shape NMS: boxes (B, N, D), scores (B, N).
+    """Batched fixed-shape NMS: boxes (B, N, D), scores (B, N).
 
     NEVER vmap `nms` — vmap turns the suppression loop's dynamic slices
-    into gathers/scatters (measured on-chip: 8.2 ms at B=1 → 234.6 ms
-    under vmap at B=3 for N=6735).  Here the batch dim simply rides along
-    every loop-carried array while slice indices stay unbatched scalars,
-    so the program is B independent lanes of the B=1 schedule (B=3
-    measured at ~9 ms).
+    into gathers/scatters.  B > 1 runs `lax.map` (a scan) over the proven
+    single-lane kernel: dedupe-proof chained timing on the chip at N=6735
+    → 1000 measured the ride-along-batch-dim form at a flat ~234 ms wall
+    for ANY B ≥ 2 (same as the vmap pathology; an earlier ~9 ms reading
+    was an artifact of relay dispatch-deduplication), while lax.map scales
+    linearly with the 8-9 ms single-lane cost: B=2 14.0 ms, B=3 19.4 ms
+    (12× at the predict-path shape).  One compiled body regardless of B.
     """
+    if boxes.shape[0] > 1:
+        idx, s = jax.lax.map(
+            lambda t: _nms_single_lane(t[0][None], t[1][None], iou_thr,
+                                       max_out, iou_fn, block),
+            (boxes, scores))
+        return idx[:, 0], s[:, 0]
+    return _nms_single_lane(boxes, scores, iou_thr, max_out, iou_fn, block)
+
+
+def _nms_single_lane(boxes: Array, scores: Array, iou_thr: float,
+                     max_out: int, iou_fn, block: int) -> Tuple[Array, Array]:
+    """The (B=1-shaped) blocked greedy kernel behind `nms`/`nms_batched`;
+    the batch dim of the loop-carried arrays must stay 1 (see above)."""
     iou_fn = iou_fn or (lambda a, b: bbox_overlaps(a, b))
     B, n, D = boxes.shape
     order = jnp.argsort(-scores, axis=1)                   # (B, N) high→low

@@ -101,6 +101,25 @@ def test_nms_matches_greedy():
     assert got == greedy_nms_ref(boxes, scores, 0.5)[:20]  # capped at max_out
 
 
+def test_nms_batched_lanes_match_single():
+    """B>1 routes through lax.map over the single-lane kernel (the
+    ride-along-batch form hit a flat ~234 ms wall on chip for any B ≥ 2);
+    every lane must equal the standalone B=1 result exactly."""
+    from mtp_tpu.ops.nms import nms_batched
+    rng = np.random.default_rng(3)
+    B, N = 3, 96
+    boxes = np.stack([rand_boxes(rng, N, 60) for _ in range(B)])
+    scores = rng.uniform(0, 1, (B, N)).astype(np.float32)
+    scores[:, 80:] = NEG_INF  # padding
+    bi, bs_ = jax.jit(nms_batched, static_argnums=(2, 3))(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, 20)
+    for b in range(B):
+        si, ss = jax.jit(nms, static_argnums=(2, 3))(
+            jnp.asarray(boxes[b]), jnp.asarray(scores[b]), 0.5, 20)
+        np.testing.assert_array_equal(np.asarray(bi[b]), np.asarray(si))
+        np.testing.assert_allclose(np.asarray(bs_[b]), np.asarray(ss))
+
+
 def test_batched_nms_classes_dont_suppress():
     boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
     scores = jnp.asarray([0.9, 0.8])

@@ -38,17 +38,29 @@ C = 256
 
 
 def timeit(name, fn, *args):
+    """Dedupe-proof chained timing: the relay DEDUPLICATES identical
+    dispatches (PERF.md round 5), so each iteration mixes a seed scalar —
+    chained through the previous iteration's checksum — into every float
+    input leaf.  The seed buffer differs per dispatch (no dedupe) and the
+    data dependency serializes iterations (honest per-iter latency).  The
+    checksum sums ALL output leaves so XLA cannot DCE any branch."""
     try:
-        out = fn(*args)  # compile
-        jax.block_until_ready(out)
-        # relay sync: fetch a scalar
-        leaves = jax.tree.leaves(out)
-        float(jnp.sum(leaves[0].astype(jnp.float32)))
+        @jax.jit
+        def chained(seed, a):
+            mixed = jax.tree.map(
+                lambda t: t + (seed * 1e-12).astype(t.dtype)
+                if jnp.issubdtype(jnp.asarray(t).dtype, jnp.inexact) else t,
+                a)
+            out = fn(*mixed)
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(out)) + seed * 0.5
+
+        seed = chained(jnp.float32(1.0), args)  # compile + first run
+        float(seed)
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            out = fn(*args)
-        leaves = jax.tree.leaves(out)
-        float(jnp.sum(leaves[0].astype(jnp.float32)))
+            seed = chained(seed, args)
+        float(seed)
         dt = (time.perf_counter() - t0) / ITERS * 1000
         print(f"{name:44s} {dt:8.2f} ms", flush=True)
         return dt

@@ -26,14 +26,26 @@ ITERS = int(os.environ.get("GP_ITERS", "10"))
 
 
 def timeit(name, fn, *args):
+    """Dedupe-proof chained timing (see det_components.timeit): the relay
+    deduplicates identical dispatches, so chain a seed scalar through every
+    iteration's inputs and checksum ALL output leaves."""
     try:
-        out = fn(*args)
-        jax.block_until_ready(out)
-        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        @jax.jit
+        def chained(seed, a):
+            mixed = jax.tree.map(
+                lambda t: t + (seed * 1e-12).astype(t.dtype)
+                if jnp.issubdtype(jnp.asarray(t).dtype, jnp.inexact) else t,
+                a)
+            out = fn(*mixed)
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(out)) + seed * 0.5
+
+        seed = chained(jnp.float32(1.0), args)
+        float(seed)
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            out = fn(*args)
-        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+            seed = chained(seed, args)
+        float(seed)
         dt = (time.perf_counter() - t0) / ITERS * 1000
         print(f"{name:44s} {dt:8.2f} ms", flush=True)
     except Exception as e:
@@ -93,6 +105,12 @@ def main():
     def stage_nms_vmap(b, sc):
         return jax.vmap(lambda bb, ss: nms(bb, ss, 0.7, 1000))(b, sc)
 
+    from mtp_tpu.ops.nms import nms_batched
+
+    @jax.jit
+    def stage_nms_batched(b, sc):
+        return nms_batched(b, sc, 0.7, 1000)
+
     timeit(f"per-level topk (A={A})", stage_topk, scores)
     timeit("topk + anchor/delta gathers", stage_topk_gather, scores, deltas)
     timeit("topk + gathers + decode", stage_decode, scores, deltas)
@@ -100,7 +118,9 @@ def main():
 
     boxes = jnp.asarray(rng.uniform(0, SIZE, (B, K, 4)).astype(np.float32))
     bs = jnp.asarray(rng.standard_normal((B, K)).astype(np.float32))
-    timeit(f"nms vmap B={B} (N={K})", stage_nms_vmap, boxes, bs)
+    timeit(f"nms_batched B={B} (N={K})", stage_nms_batched, boxes, bs)
+    if os.environ.get("GP_VMAP", "0") == "1":
+        timeit(f"nms vmap B={B} (N={K})", stage_nms_vmap, boxes, bs)
     timeit("nms B=1 (N=%d)" % K,
            jax.jit(lambda b, s: nms(b, s, 0.7, 1000)), boxes[0], bs[0])
 
